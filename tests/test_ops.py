@@ -1,0 +1,201 @@
+"""Device-op tests: sparse codec roundtrips, scatter pooling vs numpy oracle,
+trilinear sampling vs analytic fields, top-k/top-p filtering semantics.
+
+Mirrors the reference property checks batch_sparse_dense_unittest /
+pack_unpack_unittest / sample_unittest (models/shapeformer/common.py:143-206,
+302-314) as real pytest units, on static-shape jit-safe implementations.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shapeformer_tpu.ops import gridcoords, grid_sample, sampling, scatter, sparse
+
+
+# ------------------------------------------------------------------ sparse codec
+def test_dense_sparse_roundtrip(rng):
+    reso, vocab, L = 4, 16, 20
+    dense = np.full((2, reso, reso, reso), 7, np.int32)  # mode = 7
+    dense[0, 1, 1, 1], dense[0, 1, 1, 0], dense[0, 1, 0, 0] = 2, 3, 4
+    dense[1, 0, 0, 0], dense[1, 0, 0, 1] = 9, 2
+    # end_pos = reso^3 (out of cell range), end_val = vocab: reference convention
+    seq, mode = sparse.dense2sparse(jnp.asarray(dense), L, (64, 16), vocab)
+    assert int(mode) == 7
+    back = sparse.sparse2dense(seq, mode, reso)
+    assert (np.asarray(back) == dense).all()
+    # tokens sorted ascending by position, ends padded
+    lens = np.asarray(sparse.seq_lengths(seq, (64, 16)))
+    assert lens.tolist() == [3, 2]
+    pos0 = np.asarray(seq)[0, :3, 0]
+    assert (np.diff(pos0) > 0).all()
+    assert (np.asarray(seq)[0, 3:, 0] == 64).all()
+    assert (np.asarray(seq)[0, 3:, 1] == 16).all()
+
+
+def test_dense_sparse_truncation(rng):
+    reso, vocab, L = 4, 8, 5
+    dense = rng.integers(0, 2, (1, reso, reso, reso)).astype(np.int32)
+    dense[dense == 1] += rng.integers(1, 7, (dense == 1).sum()).astype(np.int32)
+    # force > L non-mode cells
+    dense = np.zeros((1, reso, reso, reso), np.int32)
+    dense.reshape(-1)[:10] = 3  # 10 tokens of value 3, mode=0
+    seq, mode = sparse.dense2sparse(jnp.asarray(dense), L, (64, 8), vocab)
+    s = np.asarray(seq)[0]
+    assert int(mode) == 0
+    # kept first L-1 tokens, terminated at the last column
+    assert (s[: L - 1, 1] == 3).all()
+    assert s[L - 1, 0] == 64 and s[L - 1, 1] == 8
+
+
+def test_dense_sparse_jit_and_mode_tiebreak():
+    reso, vocab = 2, 4
+    dense = jnp.asarray(np.array([[[[1, 1], [2, 2]], [[1, 2], [3, 0]]]]))
+    f = jax.jit(lambda d: sparse.dense2sparse(d, 8, (8, 4), vocab))
+    seq, mode = f(dense)
+    assert int(mode) == 1  # ties (1 vs 2, both x3) break to smallest, like torch.mode
+    back = sparse.sparse2dense(seq, mode, reso)
+    assert (np.asarray(back) == np.asarray(dense)).all()
+
+
+def test_token_mask():
+    seq = jnp.asarray([[[0, 1], [4, 4], [4, 4]],
+                       [[1, 2], [2, 3], [3, 1]]])
+    m = np.asarray(sparse.token_mask(seq, (4, 4)))
+    assert m.tolist() == [[1, 1, 0], [1, 1, 1]]
+
+
+def test_np_host_codec(rng):
+    dense = np.zeros((2, 4, 4, 4), np.int64)
+    dense[0, 2, 3, 1] = 5
+    dense[1, 0, 0, 0] = 2
+    seq, mode = sparse.np_dense2sparse(dense, 6, (64, 8))
+    assert mode == 0
+    back = sparse.np_sparse2dense(seq, mode, 4)
+    assert (back == dense).all()
+    filt = sparse.filter_end_tokens(seq[0], (64, 8))
+    assert filt.shape == (1, 2)
+
+
+# -------------------------------------------------------------------- gridcoords
+def test_coordinate2index_matches_numpy(rng):
+    pts = rng.uniform(-0.55, 0.55, (2, 100, 3)).astype(np.float32)
+    p_nor = np.asarray(gridcoords.normalize_3d_coordinate(jnp.asarray(pts)))
+    assert p_nor.min() >= 0 and p_nor.max() < 1
+    ids = np.asarray(gridcoords.coordinate2index(jnp.asarray(p_nor), 64))
+    cell = np.floor(p_nor * 64).astype(np.int64)
+    ref = (cell[..., 0] * 64 + cell[..., 1]) * 64 + cell[..., 2]
+    assert (ids == ref).all()
+
+
+def test_ravel_unravel_jnp():
+    flat = jnp.arange(27)
+    idx = gridcoords.unravel_index(flat, (3, 3, 3))
+    assert (np.asarray(gridcoords.ravel_index(idx, (3, 3, 3))) == np.arange(27)).all()
+
+
+# ----------------------------------------------------------------------- scatter
+def test_scatter_pool_vs_numpy(rng):
+    B, N, C, n_cells = 2, 64, 5, 8
+    c = rng.normal(size=(B, N, C)).astype(np.float32)
+    ids = rng.integers(0, n_cells, (B, N))
+    got_max = np.asarray(scatter.scatter_max(jnp.asarray(c), jnp.asarray(ids), n_cells))
+    got_mean = np.asarray(scatter.scatter_mean(jnp.asarray(c), jnp.asarray(ids), n_cells))
+    for b in range(B):
+        for cell in range(n_cells):
+            sel = c[b][ids[b] == cell]
+            if len(sel) == 0:
+                assert (got_max[b, cell] == 0).all()
+                assert (got_mean[b, cell] == 0).all()
+            else:
+                np.testing.assert_allclose(got_max[b, cell], sel.max(0), rtol=1e-6)
+                np.testing.assert_allclose(got_mean[b, cell], sel.mean(0), rtol=1e-5)
+    mask = np.asarray(scatter.occupancy_mask(jnp.asarray(ids), n_cells))
+    for b in range(B):
+        assert set(np.where(mask[b])[0]) == set(ids[b].tolist())
+
+
+def test_gather_cells():
+    grid = jnp.arange(24, dtype=jnp.float32).reshape(1, 6, 4)
+    ids = jnp.asarray([[0, 5, 2]])
+    out = np.asarray(scatter.gather_cells(grid, ids))
+    assert (out[0, 0] == np.arange(4)).all()
+    assert (out[0, 1] == np.arange(20, 24)).all()
+
+
+# ------------------------------------------------------------------- grid_sample
+def test_trilinear_linear_field_exact(rng):
+    """Trilinear interp reproduces any per-axis-linear field exactly."""
+    X = Y = Z = 5
+    gx, gy, gz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z), indexing="ij")
+    field = (2.0 * gx - 3.0 * gy + 0.5 * gz)[None, ..., None].astype(np.float32)
+    p = rng.uniform(0, 1, (1, 50, 3)).astype(np.float32)
+    out = np.asarray(grid_sample.trilinear_sample(jnp.asarray(field), jnp.asarray(p)))
+    f = p * (np.array([X, Y, Z]) - 1)
+    ref = 2.0 * f[..., 0] - 3.0 * f[..., 1] + 0.5 * f[..., 2]
+    np.testing.assert_allclose(out[..., 0], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_trilinear_corners_and_border():
+    grid = jnp.arange(8, dtype=jnp.float32).reshape(1, 2, 2, 2, 1)
+    p = jnp.asarray([[[0, 0, 0], [1, 1, 1], [0, 0, 1], [1.2, -0.3, 0.5]]],
+                    dtype=jnp.float32)
+    out = np.asarray(grid_sample.trilinear_sample(grid, p))[0, :, 0]
+    assert out[0] == 0 and out[1] == 7 and out[2] == 1
+    # border padding: out-of-range coordinates clamp
+    assert np.isfinite(out[3])
+
+
+def test_trilinear_matches_torch(rng):
+    """Bit-level check against torch.nn.functional.grid_sample
+    (align_corners=True, padding_mode='border') — the exact config the
+    reference decoder uses (dec.py:67)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    B, X, Y, Z, C, M = 2, 5, 6, 7, 3, 64
+    grid = rng.normal(size=(B, X, Y, Z, C)).astype(np.float32)
+    p = rng.uniform(0, 1, (B, M, 3)).astype(np.float32)
+    out = np.asarray(grid_sample.trilinear_sample(jnp.asarray(grid), jnp.asarray(p)))
+    # torch: input (B, C, D, H, W) with vgrid (x->W, y->H, z->D); our canonical
+    # layout maps axis 0->X, so feed torch input with D=X,H=Y,W=Z and flip vgrid.
+    tin = torch.from_numpy(grid).permute(0, 4, 1, 2, 3)  # (B,C,X,Y,Z)
+    vgrid = torch.from_numpy(2 * p - 1)[:, :, None, None, :]  # (B,M,1,1,3)
+    vgrid = vgrid.flip(-1)  # (z,y,x) -> torch (x=W? no: make W index our Z)
+    tout = F.grid_sample(tin, vgrid, padding_mode="border", align_corners=True,
+                         mode="bilinear")[:, :, :, 0, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(out, tout, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------- sampling
+def test_topk_filter():
+    logits = jnp.asarray([[1.0, 3.0, 2.0, -1.0]])
+    f = np.asarray(sampling.filter_logits(logits, top_k=2))
+    assert f[0, 1] == 3 and f[0, 2] == 2
+    assert f[0, 0] <= sampling.NEG_INF and f[0, 3] <= sampling.NEG_INF
+
+
+def test_topp_filter_keeps_first_above_threshold():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    f = np.asarray(sampling.filter_logits(logits, top_p=0.6))
+    # cum = .5, .8 -> keep first two (shift-right rule), drop rest
+    assert np.isfinite(f[0, 0]) and f[0, 0] > sampling.NEG_INF
+    assert f[0, 1] > sampling.NEG_INF
+    assert f[0, 2] <= sampling.NEG_INF and f[0, 3] <= sampling.NEG_INF
+
+
+def test_sampling_respects_filter(rng):
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.tile(np.array([[1.0, 1.0001, -2.0, 1.02]]), (64, 1)),
+                         dtype=jnp.float32)
+    toks, _ = sampling.sample_logits(key, logits, top_k=1, top_p=0.9)
+    assert (np.asarray(toks) == 3).all()  # top-1 forces argmax
+    toks3, filt = sampling.sample_logits(jax.random.PRNGKey(1), logits,
+                                         top_k=3, top_p=0.999)
+    assert set(np.asarray(toks3).tolist()) <= {0, 1, 3}  # index 2 filtered
+
+
+def test_log_prob_of():
+    logits = jnp.asarray([[0.0, float(np.log(3.0))]])  # p = [.25, .75]
+    lp = np.asarray(sampling.log_prob_of(logits, jnp.asarray([1])))
+    assert np.isclose(lp[0], np.log(0.75), atol=1e-4)
