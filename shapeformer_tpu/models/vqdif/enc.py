@@ -1,0 +1,76 @@
+"""LocalPoolPointnet encoder: per-point ResNet-FC stack with local scatter
+pooling onto a voxel grid, then strided downsampling.
+
+Semantics parity with shapeformer/models/vqdif/enc.py:11-140:
+  fc_pos -> blocks[0] -> (pool_local + concat + block)* -> fc_c
+  -> scatter_mean to dense (64^3) grid -> Downsampler -> occupancy mask.
+The torch_scatter hot loop (enc.py:5,95-112) becomes
+shapeformer_tpu.ops.scatter segment ops (Pallas-fusable); grids are
+channels-last (B, X, Y, Z, C).
+
+Note the reference computes the downsampled occupancy mask from
+floor(p_nor * out_reso) per axis (enc.py:85-91) — identical to re-binning the
+points at the output resolution, which is what occupancy_mask does here.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops import scatter
+from ...ops.gridcoords import coordinate2index, normalize_3d_coordinate
+from ..layers import ResnetBlockFC
+from .updown import Downsampler
+
+
+class LocalPoolPointnet(nn.Module):
+    c_dim: int = 128
+    dim: int = 3
+    hidden_dim: int = 128
+    scatter_type: str = "max"
+    downsampler: bool = False
+    downsampler_kwargs: Optional[dict] = None
+    c2i_order: str = "original"   # config-surface parity; canonical order used
+    grid_resolution: Optional[int] = None
+    plane_type: str = "grid"
+    padding: float = 0.1
+    n_blocks: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p):
+        """(B, N, 3) points in [-0.5, 0.5] -> (grid_feat, grid_mask).
+
+        grid_feat: (B, r_out, r_out, r_out, C_out) pooled + downsampled features
+        grid_mask: (B, r_out, r_out, r_out) bool occupancy at output resolution
+        """
+        assert self.plane_type == "grid", "only 3D grid features are supported"
+        reso = self.grid_resolution
+        n_cells = reso ** 3
+        pool = scatter.scatter_max if self.scatter_type == "max" else scatter.scatter_mean
+
+        p_nor = normalize_3d_coordinate(p, padding=self.padding)
+        ids = coordinate2index(p_nor, reso)                     # (B, N)
+
+        net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="fc_pos")(p)
+        net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name="block0")(net)
+        for i in range(1, self.n_blocks):
+            pooled_grid = pool(net, ids, n_cells)               # (B, cells, h)
+            pooled = scatter.gather_cells(pooled_grid, ids)     # (B, N, h)
+            net = jnp.concatenate([net, pooled], axis=-1)
+            net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype,
+                                name=f"block{i}")(net)
+        c = nn.Dense(self.c_dim, dtype=self.dtype, name="fc_c")(net)
+
+        fea_grid = scatter.scatter_mean(c, ids, n_cells)
+        fea_grid = fea_grid.reshape(-1, reso, reso, reso, self.c_dim)
+        if self.downsampler:
+            fea_grid = Downsampler(dtype=self.dtype, name="downsampler",
+                                   **self.downsampler_kwargs)(fea_grid)
+        out_reso = fea_grid.shape[1]
+        out_ids = coordinate2index(p_nor, out_reso)
+        mask = scatter.occupancy_mask(out_ids, out_reso ** 3)
+        mask = mask.reshape(-1, out_reso, out_reso, out_reso)
+        return fea_grid, mask

@@ -1,0 +1,147 @@
+"""VQDIF model tests: shapes, quantizer EMA, straight-through gradients,
+quantize_cloud mode-fill, chunked decode equivalence, loss + one optim step.
+
+Scaled-down version of configs/vqdif/shapenet_res16.yaml (grid 16 -> 8,
+1 downsample step) so the whole suite runs on the CPU test mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from shapeformer_tpu.models.vqdif import vqdif as vqdif_mod
+from shapeformer_tpu.models.vqdif.vqdif import VQDIF, get_loss, vq_loss
+
+GRID = 16
+VQ_DIM = 32
+VOCAB = 64
+
+MODEL_KWARGS = dict(
+    encoder_opt=dict(
+        cls="shapeformer_tpu.models.vqdif.enc.LocalPoolPointnet",
+        kwargs=dict(hidden_dim=16, plane_type="grid", grid_resolution=GRID,
+                    c_dim=16, downsampler=True,
+                    downsampler_kwargs=dict(in_channels=16, downsample_steps=1)),
+    ),
+    quantizer_opt=dict(
+        cls="shapeformer_tpu.models.vqdif.quantizer.Quantizer",
+        kwargs=dict(vocab_size=VOCAB, n_embd=VQ_DIM),
+    ),
+    vq_beta=0.001,
+    decoder_opt=dict(
+        cls="shapeformer.models.vqdif.dec.LocalDecoder",  # exercises aliasing
+        kwargs=dict(sample_mode="bilinear", hidden_size=16, c_dim=16,
+                    unet3d=True,
+                    unet3d_kwargs=dict(num_levels=2, f_maps=VQ_DIM,
+                                       in_channels=VQ_DIM, out_channels=VQ_DIM),
+                    upsampler=True,
+                    upsampler_kwargs=dict(in_channels=VQ_DIM, upsampler_steps=1)),
+    ),
+)
+
+
+def _fix_opt(d):
+    return {("class" if k == "cls" else k): (_fix_opt(v) if isinstance(v, dict) else v)
+            for k, v in d.items()}
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    kwargs = {k: (_fix_opt(v) if isinstance(v, dict) else v)
+              for k, v in MODEL_KWARGS.items()}
+    model = VQDIF(**kwargs)
+    rng = np.random.default_rng(0)
+    Xbd = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 128, 3)), jnp.float32)
+    Xtg = jnp.asarray(rng.uniform(-1, 1, (2, 256, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), Xbd, Xtg)
+    return model, variables, Xbd, Xtg
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables, Xbd, Xtg = model_and_vars
+    out = model.apply(variables, Xbd, Xtg)
+    r = GRID // 2  # one downsample step
+    assert out["logits"].shape == (2, 256, 1)
+    assert out["quant_ind"].shape == (2, r, r, r)
+    assert out["quant_feat"].shape == (2, r, r, r, VQ_DIM)
+    assert out["grid_mask"].shape == (2, r, r, r)
+    assert out["grid_mask"].sum() > 0
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_quantizer_ema_updates(model_and_vars):
+    model, variables, Xbd, Xtg = model_and_vars
+    out, updated = model.apply(variables, Xbd, Xtg, train=True, mutable=["vq"])
+    old_cb = variables["vq"]["quantizer"]["codebook"]
+    new_cb = updated["vq"]["quantizer"]["codebook"]
+    assert not np.allclose(np.asarray(old_cb), np.asarray(new_cb))
+    assert np.asarray(updated["vq"]["quantizer"]["N"]).sum() > 0
+    # eval mode must NOT touch vq state
+    out2 = model.apply(variables, Xbd, Xtg, train=False)
+    assert np.isfinite(float(out2["quant_diff"]))
+
+
+def test_straight_through_gradients(model_and_vars):
+    model, variables, Xbd, Xtg = model_and_vars
+    params = variables["params"]
+    Ytg = jnp.zeros((2, 256, 1))
+
+    def loss_fn(p):
+        out = model.apply({"params": p, "vq": variables["vq"]}, Xbd, Xtg)
+        return vq_loss(out["logits"], Ytg, out["quant_diff"], beta=0.001)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    g_enc = jax.tree_util.tree_leaves(grads["encoder"])
+    # straight-through: encoder must receive gradient through the quantizer
+    assert any(float(jnp.abs(g).sum()) > 0 for g in g_enc)
+    g_dec = jax.tree_util.tree_leaves(grads["decoder"])
+    assert any(float(jnp.abs(g).sum()) > 0 for g in g_dec)
+
+
+def test_quantize_cloud_mode_fill(model_and_vars):
+    model, variables, Xbd, _ = model_and_vars
+    quant_ind, mode, encoded = model.apply(variables, Xbd,
+                                           method=VQDIF.quantize_cloud)
+    mask = np.asarray(encoded["grid_mask"])
+    qi = np.asarray(quant_ind)
+    assert (qi[~mask] == int(mode)).all()
+    assert (qi[mask] == np.asarray(encoded["quant_ind"])[mask]).all()
+
+
+def test_decode_index_and_chunked(model_and_vars):
+    model, variables, Xbd, _ = model_and_vars
+    r = GRID // 2
+    rng = np.random.default_rng(1)
+    code = jnp.asarray(rng.integers(0, VOCAB, (1, r, r, r)))
+    Xtg = jnp.asarray(rng.uniform(-1, 1, (1, 512, 3)), jnp.float32)
+    full = model.apply(variables, code, Xtg, method=VQDIF.decode_index)["logits"]
+    chunked = model.apply(variables, code, Xtg, 128,
+                          method=VQDIF.decode_index_chunked)["logits"]
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_improves_loss(model_and_vars):
+    model, variables, Xbd, Xtg = model_and_vars
+    # occupancy target from a half-space: learnable signal
+    Ytg = (np.asarray(Xtg)[..., 0:1] > 0).astype(np.float32)
+    batch = dict(Xbd=Xbd, Xtg=Xtg, Ytg=jnp.asarray(Ytg))
+    tx = optax.adam(1e-3)
+    params, vq = variables["params"], variables["vq"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, vq, opt_state):
+        def lf(p):
+            return get_loss(model, {"params": p, "vq": vq}, batch, train=True)
+        (loss, (losses, upd)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), upd["vq"], opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, vq, opt_state, loss = step(params, vq, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
