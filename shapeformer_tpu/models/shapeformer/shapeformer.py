@@ -1,0 +1,211 @@
+"""ShapeFormer: conditional autoregressive transformer over sparse VQ tokens.
+
+Capability parity with shapeformer/models/shapeformer/shapeformer.py:16-207:
+  - forward/loss: concat cond+gen tuple sequences, two-stage TupleGPT, per-
+    tuple-element cross-entropy averaged (shared_step, shapeformer.py:132-140);
+  - sample_indices: autoregressive sampling with per-element representer
+    masking, top-k/top-p, best-in-first, early stop when every row emitted its
+    end token (shapeformer.py:55-123);
+  - sample: output indices converted by the representer (shapeformer.py:125-130).
+
+TPU-native redesign (SURVEY.md section 7):
+  - the sampling loop is a jit-compiled lax.while_loop with KV caches carried
+    through both transformer stages — one O(1)-context step per token instead
+    of the reference's full-prefix re-forward (shapeformer.py:86-88), and the
+    loop exits as soon as all candidates are done (matching the reference's
+    host-side break, shapeformer.py:112-115) with zero host syncs;
+  - sequences are statically padded (attention key masks recover dynamic
+    lengths); the window-overflow shift of the reference (shapeformer.py:73-76,
+    which indexes the batch dim and cannot trigger under the shipped 406+406
+    block layout) is replaced by a hard stop at block_size;
+  - per-token log-probs of the sampled tokens are accumulated in-loop from the
+    masked logits (the reference stores full logits histories and computes
+    log-softmax on host, shapeformer.py:94,407-418).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ... import config as _config
+from ...ops import sampling as sampling_ops
+from ...ops import sparse as sparse_ops
+
+
+class ShapeFormer:
+    """Plain-python system object: a flax CondTupleGPT + a representer.
+
+    (The reference subclasses pl.LightningModule; here optimizer/step logic
+    lives in shapeformer_tpu.systems and this class is the pure model.)
+    """
+
+    def __init__(self, tuple_n=None, block_size=None, end_tokens=None,
+                 vocab_sizes=None, extra_vocab_sizes=None, voxel_res=16,
+                 transformer_opt=None, representer_opt=None, optim_opt=None,
+                 defer_vqvae=False):
+        self.tuple_n = tuple_n
+        self.block_size = block_size
+        self.end_tokens = tuple(end_tokens)
+        self.vocab_sizes = tuple(vocab_sizes)
+        self.extra_vocab_sizes = tuple(extra_vocab_sizes)
+        self.voxel_res = voxel_res
+        self.optim_opt = optim_opt or {}
+        assert "TupleGPT" in transformer_opt["class"]
+        self.transformer = _config.load_object(transformer_opt["class"])(
+            **transformer_opt.get("kwargs", {}))
+        rep_kwargs = dict(representer_opt.get("kwargs", {}))
+        if defer_vqvae:
+            rep_kwargs["defer_vqvae"] = True
+        self.representer = _config.load_object(representer_opt["class"])(
+            **rep_kwargs)
+        self.max_length = self.representer.max_length
+
+    # ----------------------------------------------------------------- params
+    def init_variables(self, rng):
+        B, L = 1, self.max_length
+        idx = jnp.zeros((B, 2 * L - 1, self.tuple_n), jnp.int32)
+        extra = jnp.zeros((B, 2 * L - 1, len(self.extra_vocab_sizes)), jnp.int32)
+        return self.transformer.init(rng, idx, extra, L, idx,
+                                     deterministic=True)
+
+    # ------------------------------------------------------------------- loss
+    def compute_logits(self, params, c_indices, z_indices, extra_indices,
+                       rng=None, deterministic=True):
+        """Teacher-forced forward (shapeformer.py:26-46): returns per-element
+        logits already cut to the generation region, (B, L, vocab_i)."""
+        L_c = c_indices.shape[1]
+        cz = jnp.concatenate([c_indices, z_indices], axis=1)
+        idx, target = cz[:, :-1], cz[:, 1:]
+        ie = self.representer.input_end_tokens
+        key_valid = jnp.concatenate(
+            [sparse_ops.token_mask(c_indices, ie),
+             sparse_ops.token_mask(z_indices, ie)], axis=1)[:, :-1] > 0
+        rngs = {"dropout": rng} if rng is not None else None
+        logits = self.transformer.apply(
+            params, idx, extra_indices[:, :-1], L_c, target, key_valid,
+            deterministic=deterministic, rngs=rngs)
+        return [lg[:, L_c - 1:, :] for lg in logits]
+
+    def loss(self, params, batch, rng=None, stage="train"):
+        """Per-element masked CE averaged over tuple elements
+        (shared_step, shapeformer.py:132-140; masking reproduces the
+        reference's batch-size-1 dynamic padding, see ops.sparse.token_mask)."""
+        rep_rng = tok_rng = None
+        if rng is not None:
+            rep_rng, tok_rng = jax.random.split(rng)
+        c, z, extra, _ = self.representer.get_indices(
+            stage=stage, rng=rep_rng,
+            Xct=batch["Xct"], Xbd=batch.get("Xbd"))
+        logits = self.compute_logits(params, c, z, extra, rng=tok_rng,
+                                     deterministic=(stage != "train"))
+        w = sparse_ops.token_mask(z, self.end_tokens)
+        total = 0.0
+        for i, lg in enumerate(logits):
+            logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, z[..., i:i + 1], axis=-1)[..., 0]
+            total = total + (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return total / len(logits)
+
+    # --------------------------------------------------------------- sampling
+    def sample_indices(self, params, c_indices, rng, max_steps: int = 512,
+                       top_k: int = 100, top_p: float = 0.8,
+                       temperature: float = 1.0, best_in_first: bool = False):
+        """KV-cached AR sampling (semantics of shapeformer.py:55-123).
+
+        c_indices: (B, max_length, tuple_n) padded condition tokens (in input
+        coding).  Returns (gen_tokens (B, max_gen, tuple_n) padded with end
+        tokens, log_prob (B,) sum of sampled-token log-probs under the masked
+        logits).
+        """
+        assert self.tuple_n == 2, "KV-cached sampler currently supports 2-tuples"
+        tf, rep = self.transformer, self.representer
+        B, L_c, _ = c_indices.shape
+        block = tf.block_size
+        max_gen = min(int(max_steps), block - L_c)
+        e0, e1 = self.end_tokens
+        cond_pos = c_indices[..., 0]
+        empty_z = c_indices[:, :0, :]
+        extra_c = rep.get_extra_indices(c_indices, empty_z)
+
+        cond_valid = sparse_ops.token_mask(
+            c_indices, rep.input_end_tokens) > 0                   # (B, L_c)
+        cond_valid_blk = jnp.pad(cond_valid, ((0, 0), (0, block - L_c)))
+        arange_blk = jnp.arange(block)[None, :]
+
+        caches, h0, logits0 = tf.apply(
+            params, c_indices, extra_c, L_c, cond_valid,
+            method=type(tf).prefill)
+
+        def key_valid_upto(index):
+            gen = (arange_blk >= L_c) & (arange_blk <= index)
+            return cond_valid_blk | gen
+
+        gen_buf = jnp.stack(
+            [jnp.full((B, max_gen), e0, jnp.int32),
+             jnp.full((B, max_gen), e1, jnp.int32)], axis=-1)
+
+        def masker0(lg, j, prev_pos, prev_sum):
+            kw = dict(tuple_i=0, step_j=j, prev_pos=prev_pos,
+                      cond_pos=cond_pos)
+            try:
+                return rep.sampling_masker(lg, prev_pos_sum=prev_sum, **kw)
+            except TypeError:
+                return rep.sampling_masker(lg, **kw)
+
+        def body(state):
+            (caches, h0, logits0, buf, prev_pos, prev_sum, j, logp, key) = state
+            key, k0, k1 = jax.random.split(key, 3)
+            # --- element 0: position ---
+            m0 = masker0(logits0, j, prev_pos, prev_sum)
+            pos, _ = sampling_ops.sample_logits(
+                k0, m0, top_k=top_k, top_p=top_p, temperature=temperature)
+            if best_in_first:
+                pos = pos.at[0].set(jnp.argmax(m0[0]).astype(jnp.int32))
+            lp = sampling_ops.log_prob_of(m0, pos)
+            # --- element 1: value (stage 1, fed the sampled position) ---
+            idx1 = L_c + j - 1
+            logits1, caches = tf.apply(
+                params, caches, h0, pos, idx1, key_valid_upto(idx1),
+                method=type(tf).decode_stage1)
+            m1 = rep.sampling_masker(logits1, tuple_i=1, step_j=j, new_pos=pos)
+            val, _ = sampling_ops.sample_logits(
+                k1, m1, top_k=top_k, top_p=top_p, temperature=temperature)
+            if best_in_first:
+                val = val.at[0].set(jnp.argmax(m1[0]).astype(jnp.int32))
+            lp = lp + sampling_ops.log_prob_of(m1, val)
+            token = jnp.stack([pos, val], axis=-1)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, token[:, None, :], j, axis=1)
+            # --- append token, advance stage 0 ---
+            extra_new = (rep.next_extra_for(cond_pos, pos)[:, None]
+                         if hasattr(rep, "next_extra_for")
+                         else jnp.zeros((B, 1), jnp.int32))
+            idx0 = L_c + j
+            caches, h0, logits0 = tf.apply(
+                params, caches, token, extra_new, idx0, j,
+                key_valid_upto(idx0), method=type(tf).decode_stage0)
+            new_sum = prev_sum + jnp.where(pos == e0, 0, pos)
+            return (caches, h0, logits0, buf, pos, new_sum, j + 1,
+                    logp + lp, key)
+
+        def cond(state):
+            (_, _, _, _, prev_pos, _, j, _, _) = state
+            running = jnp.logical_not(jnp.all(prev_pos == e0)) | (j == 0)
+            return (j < max_gen) & running
+
+        init = (caches, h0, logits0, gen_buf,
+                jnp.full((B,), e0, jnp.int32),       # prev_pos: cond ends with e0
+                jnp.zeros((B,), jnp.int32),          # prev_sum (RR feasibility)
+                jnp.int32(0), jnp.zeros((B,), jnp.float32), rng)
+        state = jax.lax.while_loop(cond, body, init)
+        buf, logp = state[3], state[7]
+        return buf, logp
+
+    def sample(self, params, c_indices, rng, **kw):
+        """sample_indices + representer output conversion (shapeformer.py:125-130).
+        Returns (out_tokens, raw_tokens, log_prob)."""
+        x, logp = self.sample_indices(params, c_indices, rng, **kw)
+        return self.representer.convert_output_indices(x), x, logp

@@ -1,0 +1,357 @@
+"""CondTupleGPT: tuple-factorized conditional GPT with KV-cached decode.
+
+Architecture parity with shapeformer/models/shapeformer/transformer/
+mingpt.py:185-319 (CondTupleGPT):
+  - one token embedding per tuple element, summed, plus extra-channel
+    embeddings and separate cond/gen learned positional embeddings
+    (gen positions restart at 0 after the condition, mingpt.py:256-265);
+  - stage i = n_layers[i] pre-LN transformer blocks consuming the running
+    stream x, emitting logits_i through its head, then adding the embedding
+    of target element i before stage i+1 (mingpt.py:287-296);
+  - heads = LayerNorm -> optional hidden Dense+ReLU -> bias-free Dense.
+
+TPU-native redesign decisions (SURVEY.md section 7):
+  - fused qkv projection, attention as einsums on (B, T, H, Dh);
+  - an explicit `key_valid` mask hides fixed-length padding tokens, so static
+    shapes reproduce the reference's dynamic-length sequences exactly;
+  - decode path carries explicit (k, v) caches per stage (positions are
+    written at a scalar index inside lax.while_loop) instead of the
+    reference's full-prefix re-forward per token (its hot loop,
+    mingpt.py:297-310 / shapeformer.py:86-88);
+  - the python-generator two-stage sampling protocol (.send of the sampled
+    position, mingpt.py:297-310) becomes the explicit pair
+    decode_stage0 / decode_stage1 with identical ordering semantics.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _split_heads(x, n_head):
+    B, T, C = x.shape
+    return x.reshape(B, T, n_head, C // n_head)
+
+
+class CausalSelfAttention(nn.Module):
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.n_embd, dtype=self.dtype)
+        self.proj = nn.Dense(self.n_embd, dtype=self.dtype)
+        self.attn_drop = nn.Dropout(self.attn_pdrop)
+        self.resid_drop = nn.Dropout(self.resid_pdrop)
+
+    def _attend(self, q, k, v, mask, deterministic):
+        """q: (B,Tq,H,D), k/v: (B,Tk,H,D), mask: broadcastable (B,1,Tq,Tk)."""
+        scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        att = jnp.where(mask, att, jnp.asarray(NEG_INF, att.dtype))
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+        att = self.attn_drop(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        return y.reshape(y.shape[0], y.shape[1], -1)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        qkv = self.qkv(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.n_head) for t in (q, k, v))
+        y = self._attend(q, k, v, mask, deterministic)
+        return self.resid_drop(self.proj(y), deterministic=deterministic), (k, v)
+
+    def decode(self, x_new, cache_k, cache_v, index, key_valid):
+        """Single-position decode.
+
+        x_new: (B, 1, C); cache_k/v: (B, T_max, H, D); index: scalar write
+        position; key_valid: (B, T_max) bool of attendable positions
+        (already includes causality: only positions <= index are valid).
+        Returns (y (B,1,C), cache_k, cache_v).
+        """
+        qkv = self.qkv(x_new)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.n_head) for t in (q, k, v))
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), index, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), index, axis=1)
+        mask = key_valid[:, None, None, :]
+        y = self._attend(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+                         mask, deterministic=True)
+        return self.proj(y), cache_k, cache_v
+
+
+class Block(nn.Module):
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(dtype=self.dtype)
+        self.attn = CausalSelfAttention(self.n_embd, self.n_head,
+                                        self.attn_pdrop, self.resid_pdrop,
+                                        dtype=self.dtype)
+        self.fc1 = nn.Dense(4 * self.n_embd, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.n_embd, dtype=self.dtype)
+        self.mlp_drop = nn.Dropout(self.resid_pdrop)
+
+    def _mlp(self, x, deterministic):
+        return self.mlp_drop(self.fc2(nn.gelu(self.fc1(x))),
+                             deterministic=deterministic)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        a, kv = self.attn(self.ln1(x), mask, deterministic)
+        x = x + a
+        return x + self._mlp(self.ln2(x), deterministic), kv
+
+    def decode(self, x_new, cache_k, cache_v, index, key_valid):
+        a, ck, cv = self.attn.decode(self.ln1(x_new), cache_k, cache_v,
+                                     index, key_valid)
+        x = x_new + a
+        return x + self._mlp(self.ln2(x), True), ck, cv
+
+
+class Head(nn.Module):
+    vocab_size: int
+    n_embd: int
+    head_hidden_layers: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        for _ in range(self.head_hidden_layers):
+            x = nn.relu(nn.Dense(self.n_embd, dtype=self.dtype)(x))
+        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype)(x)
+
+
+class CondTupleGPT(nn.Module):
+    vocab_sizes: Sequence[int]
+    extra_vocab_sizes: Sequence[int]
+    block_size: int
+    tuple_n: int
+    n_layers: Sequence[int] = (12,)
+    n_head: int = 8
+    n_embd: int = 256
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    n_unmasked: int = 0
+    no_pos_emb: bool = False
+    cond_emb_same: bool = False
+    pos_no_restart: bool = False
+    head_hidden_layers: int = 0
+    dtype: jnp.dtype = jnp.float32
+    cache_dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        assert self.tuple_n == len(self.vocab_sizes) == len(self.n_layers)
+        emb_init = nn.initializers.normal(stddev=0.02)
+        self.tok_embs = [nn.Embed(v, self.n_embd, embedding_init=emb_init,
+                                  dtype=self.dtype)
+                         for v in self.vocab_sizes]
+        self.extra_tok_embs = [nn.Embed(v, self.n_embd, embedding_init=emb_init,
+                                        dtype=self.dtype)
+                               for v in self.extra_vocab_sizes]
+        self.pos_emb = self.param("pos_emb", nn.initializers.zeros,
+                                  (1, self.block_size, self.n_embd))
+        if not self.cond_emb_same:
+            self.cond_pos_emb = self.param("cond_pos_emb", nn.initializers.zeros,
+                                           (1, self.block_size, self.n_embd))
+        self.stages = [
+            [Block(self.n_embd, self.n_head, self.attn_pdrop, self.resid_pdrop,
+                   dtype=self.dtype) for _ in range(n)]
+            for n in self.n_layers]
+        self.heads = [Head(v, self.n_embd, self.head_hidden_layers,
+                           dtype=self.dtype) for v in self.vocab_sizes]
+        self.drop = nn.Dropout(self.embd_pdrop)
+
+    def get_block_size(self):
+        return self.block_size
+
+    # ------------------------------------------------------------ embeddings
+    def get_pos_embeddings(self, L_gen: int, L_cond: int):
+        cond_emb = self.pos_emb if self.cond_emb_same else self.cond_pos_emb
+        if self.pos_no_restart:
+            out = self.pos_emb[:, :L_gen + L_cond, :]
+        else:
+            out = jnp.concatenate([cond_emb[:, :L_cond, :],
+                                   self.pos_emb[:, :L_gen, :]], axis=1)
+        if self.no_pos_emb:
+            out = out * 0.0
+        return out.astype(self.dtype)
+
+    def get_embeddings(self, idx, extra_idx, L_cond: int):
+        """idx: (B, L, tuple_n) int, extra_idx: (B, L, extra_tuple_n) int."""
+        L = idx.shape[1]
+        tok = sum(emb(idx[..., i]) for i, emb in enumerate(self.tok_embs))
+        extra = sum(emb(extra_idx[..., i])
+                    for i, emb in enumerate(self.extra_tok_embs))
+        return tok + extra + self.get_pos_embeddings(L - L_cond, L_cond)
+
+    # --------------------------------------------------------------- training
+    def _attn_mask(self, T: int, key_valid):
+        """(T, T) causal AND per-row key validity -> (B, 1, T, T)."""
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        if self.n_unmasked > 0:
+            nu = self.n_unmasked
+            causal = causal.at[:nu, :nu].set(True)
+        mask = causal[None, None, :, :]
+        if key_valid is not None:
+            mask = mask & key_valid[:, None, None, :]
+        return mask
+
+    def __call__(self, idx, extra_idx=None, L_cond: int = 1, target_idx=None,
+                 key_valid=None, deterministic: bool = True):
+        """Training forward: returns [logits_i (B, L, vocab_sizes[i])].
+
+        target_idx = idx shifted left by one (the teacher-forced next tuple);
+        stage i+1 consumes stage i's stream plus tok_emb_i(target[..., i])
+        (mingpt.py:287-296).
+        """
+        T = idx.shape[1]
+        assert T <= self.block_size
+        x = self.get_embeddings(idx, extra_idx, L_cond)
+        mask = self._attn_mask(T, key_valid)
+        logits = []
+        for i in range(self.tuple_n):
+            x = self.drop(x, deterministic=deterministic)
+            for blk in self.stages[i]:
+                x, _ = blk(x, mask, deterministic)
+            logits.append(self.heads[i](x))
+            if i < self.tuple_n - 1:
+                x = x + self.tok_embs[i](target_idx[..., i])
+        return logits
+
+    # ----------------------------------------------------------------- decode
+    def init_cache(self, B: int):
+        """Zeroed (k, v) caches: per stage a (n_layers, B, block, H, Dh) pair."""
+        Dh = self.n_embd // self.n_head
+        return [
+            (jnp.zeros((n, B, self.block_size, self.n_head, Dh), self.cache_dtype),
+             jnp.zeros((n, B, self.block_size, self.n_head, Dh), self.cache_dtype))
+            for n in self.n_layers]
+
+    def prefill(self, idx, extra_idx, L_cond: int, key_valid):
+        """Run the full prefix once, filling caches for every stage.
+
+        idx: (B, P, tuple_n) prefix tokens (P < block_size).  Stage i+1's
+        prefix inputs use the teacher-forced next-element idx[t+1, i], so the
+        last prefix position P-1 is NOT processed by stages > 0 (its stage-1
+        input depends on the yet-unsampled position token); decode_stage1
+        handles it.  Returns (caches, h0_last (B, C), logits0_last (B, V0)).
+        """
+        B, P, _ = idx.shape
+        x = self.get_embeddings(idx, extra_idx, L_cond)
+        mask = self._attn_mask(P, key_valid)
+        caches = self.init_cache(B)
+
+        def pad_kv(k):  # (B, P, H, D) -> (B, block, H, D)
+            return jnp.pad(k, ((0, 0), (0, self.block_size - P), (0, 0), (0, 0))
+                           ).astype(self.cache_dtype)
+
+        h_last = None
+        logits0_last = None
+        for i in range(self.tuple_n):
+            ks, vs = [], []
+            for blk in self.stages[i]:
+                x, (k, v) = blk(x, mask, True)
+                ks.append(pad_kv(k))
+                vs.append(pad_kv(v))
+            caches[i] = (jnp.stack(ks), jnp.stack(vs))
+            if i == 0:
+                h_last = x[:, -1, :]
+                logits0_last = self.heads[0](x[:, -1:, :])[:, 0, :]
+            if i < self.tuple_n - 1:
+                # teacher-forced shift: position t gets element i of token t+1;
+                # the final position P-1 has no target yet -> its stage-(i+1)
+                # k/v entry is recomputed by decode_stage1 at sampling time.
+                nxt = jnp.concatenate([idx[:, 1:, i], idx[:, -1:, i]], axis=1)
+                x = x + self.tok_embs[i](nxt)
+        return caches, h_last, logits0_last
+
+    def decode_stage1(self, caches, h0, pos_token, index, key_valid):
+        """Second tuple stage for one position.
+
+        h0: (B, C) stage-0 hidden at `index`; pos_token: (B,) the freshly
+        sampled element-0 token (the .send() of the reference generator).
+        Returns (logits1 (B, V1), caches).
+        """
+        x = (h0 + self.tok_embs[0](pos_token))[:, None, :]
+        ck, cv = caches[1]
+        new_k, new_v = [], []
+        for li, blk in enumerate(self.stages[1]):
+            x, k_i, v_i = blk.decode(x, ck[li], cv[li], index, key_valid)
+            new_k.append(k_i)
+            new_v.append(v_i)
+        caches = [caches[0], (jnp.stack(new_k), jnp.stack(new_v))]
+        return self.heads[1](x)[:, 0, :], caches
+
+    def decode_stage0(self, caches, new_token, new_extra, index, gen_pos,
+                      key_valid):
+        """Append the completed token tuple at `index` and advance stage 0.
+
+        new_token: (B, tuple_n); gen_pos: scalar index into the gen positional
+        embedding (index - L_cond).  Returns (caches, h0 (B,C), logits0 (B,V0)).
+        """
+        tok = sum(emb(new_token[:, i]) for i, emb in enumerate(self.tok_embs))
+        extra = sum(emb(new_extra[:, i])
+                    for i, emb in enumerate(self.extra_tok_embs))
+        pos = jax.lax.dynamic_slice_in_dim(self.pos_emb[0], gen_pos, 1, axis=0)
+        if self.no_pos_emb:
+            pos = pos * 0.0
+        x = (tok + extra)[:, None, :] + pos[None].astype(self.dtype)
+        ck, cv = caches[0]
+        new_k, new_v = [], []
+        for li, blk in enumerate(self.stages[0]):
+            x, k_i, v_i = blk.decode(x, ck[li], cv[li], index, key_valid)
+            new_k.append(k_i)
+            new_v.append(v_i)
+        caches = [(jnp.stack(new_k), jnp.stack(new_v)), caches[1]]
+        return caches, x[:, 0, :], self.heads[0](x)[:, 0, :]
+
+
+class GPT(nn.Module):
+    """Plain single-stream GPT (reference mingpt.py:114-183); provided for
+    component parity — the shipped pipeline uses CondTupleGPT."""
+    vocab_size: int
+    block_size: int
+    n_layer: int = 12
+    n_head: int = 8
+    n_embd: int = 256
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    n_unmasked: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx, deterministic: bool = True):
+        B, T = idx.shape
+        assert T <= self.block_size
+        tok = nn.Embed(self.vocab_size, self.n_embd,
+                       embedding_init=nn.initializers.normal(0.02),
+                       dtype=self.dtype)(idx)
+        pos = self.param("pos_emb", nn.initializers.zeros,
+                         (1, self.block_size, self.n_embd))[:, :T, :]
+        x = nn.Dropout(self.embd_pdrop)(tok + pos.astype(self.dtype),
+                                        deterministic=deterministic)
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        if self.n_unmasked > 0:
+            causal = causal.at[:self.n_unmasked, :self.n_unmasked].set(True)
+        mask = causal[None, None]
+        for _ in range(self.n_layer):
+            x, _ = Block(self.n_embd, self.n_head, self.attn_pdrop,
+                         self.resid_pdrop, dtype=self.dtype)(
+                x, mask, deterministic)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype)(x)

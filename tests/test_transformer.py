@@ -1,0 +1,195 @@
+"""CondTupleGPT tests: the load-bearing property is that the KV-cached decode
+path (prefill + decode_stage0/decode_stage1) produces bit-equal logits to the
+teacher-forced full forward — that equivalence is what licenses replacing the
+reference's full-prefix re-forward sampler (mingpt.py:297-310) with O(1) steps.
+
+Also covers the representer maskers (monotonic positions, end forcing,
+completion consistency) and the full jit-compiled sampling loop.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shapeformer_tpu.models.shapeformer import representers as reps
+from shapeformer_tpu.models.shapeformer.shapeformer import ShapeFormer
+from shapeformer_tpu.models.shapeformer.transformer.mingpt import CondTupleGPT
+from shapeformer_tpu.ops import sparse as sparse_ops
+
+RES = 2                      # voxel grid 2^3 = 8 cells
+POS_V, VAL_V = 9, 17         # pos vocab 8+end, val vocab 16+end
+END = (8, 16)
+BLOCK = 16
+MAXLEN = 8
+
+TF_KW = dict(vocab_sizes=(POS_V, VAL_V), extra_vocab_sizes=(POS_V,),
+             block_size=BLOCK, tuple_n=2, n_layers=(2, 1), n_head=2,
+             n_embd=32, cache_dtype=jnp.float32)
+
+
+def make_seq(pos_lists, val_lists):
+    """Build (B, MAXLEN, 2) padded sequences from per-row python lists."""
+    B = len(pos_lists)
+    out = np.full((B, MAXLEN, 2), -1, np.int32)
+    out[..., 0], out[..., 1] = END[0], END[1]
+    for b, (ps, vs) in enumerate(zip(pos_lists, val_lists)):
+        out[b, :len(ps), 0] = ps
+        out[b, :len(vs), 1] = vs
+    return jnp.asarray(out)
+
+
+@pytest.fixture(scope="module")
+def rep():
+    return reps.AR_N(voxel_res=RES, end_tokens=END, block_size=BLOCK,
+                     mask_invalid=True, mask_invalid_completion=True)
+
+
+@pytest.fixture(scope="module")
+def model_params(rep):
+    sf = ShapeFormer(
+        tuple_n=2, block_size=BLOCK, end_tokens=END,
+        vocab_sizes=(POS_V, VAL_V), extra_vocab_sizes=(POS_V,), voxel_res=RES,
+        transformer_opt={
+            "class": "shapeformer_tpu.models.shapeformer.transformer"
+                     ".mingpt.CondTupleGPT",
+            "kwargs": TF_KW},
+        representer_opt={
+            "class": "shapeformer_tpu.models.shapeformer.representers.AR_N",
+            "kwargs": dict(voxel_res=RES, end_tokens=END, block_size=BLOCK,
+                           mask_invalid=True, mask_invalid_completion=True)})
+    params = sf.init_variables(jax.random.PRNGKey(0))
+    # non-trivial params: zero pos-embs would make the test vacuous
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(1), x.shape,
+                                               x.dtype), params)
+    return sf, params
+
+
+def test_decode_matches_forward(model_params, rep):
+    """Stepwise KV-cached logits == teacher-forced full-forward logits."""
+    sf, params = model_params
+    tf = sf.transformer
+    c = make_seq([[0, 3, 6], [1, 2, 4, 7]], [[5, 2, 9], [1, 1, 3, 2]])
+    z = make_seq([[1, 4, 5], [0, 5]], [[2, 3, 1], [7, 4]])
+    extra = rep.get_extra_indices(c, z)
+    full = sf.compute_logits(params, c, z, extra, deterministic=True)
+
+    L_c = MAXLEN
+    cond_valid = sparse_ops.token_mask(c, END) > 0
+    caches, h0, lg0 = tf.apply(params, c, extra[:, :L_c], L_c, cond_valid,
+                               method=CondTupleGPT.prefill)
+    block = tf.block_size
+    cond_valid_blk = jnp.pad(cond_valid, ((0, 0), (0, block - L_c)))
+    ar = jnp.arange(block)[None, :]
+
+    def kv(index):
+        return cond_valid_blk | ((ar >= L_c) & (ar <= index))
+
+    cond_pos = c[..., 0]
+    # compare up to the shortest row's end token (lengths 3+1 and 2+1 -> 3)
+    for j in range(3):
+        np.testing.assert_allclose(np.asarray(lg0), np.asarray(full[0][:, j]),
+                                   rtol=2e-4, atol=2e-4)
+        pos = z[:, j, 0]
+        lg1, caches = tf.apply(params, caches, h0, pos, L_c + j - 1,
+                               kv(L_c + j - 1),
+                               method=CondTupleGPT.decode_stage1)
+        np.testing.assert_allclose(np.asarray(lg1), np.asarray(full[1][:, j]),
+                                   rtol=2e-4, atol=2e-4)
+        token = z[:, j, :]
+        extra_new = reps.get_next_cond(cond_pos, pos[:, None], END[0])
+        caches, h0, lg0 = tf.apply(params, caches, token, extra_new, L_c + j,
+                                   j, kv(L_c + j),
+                                   method=CondTupleGPT.decode_stage0)
+
+
+def test_cond_padding_invisible(model_params, rep):
+    """Extending cond padding (all masked) must not change the logits."""
+    sf, params = model_params
+    c1 = make_seq([[0, 3]], [[5, 2]])
+    z = make_seq([[1, 4]], [[2, 3]])
+    extra = rep.get_extra_indices(c1, z)
+    out1 = sf.compute_logits(params, c1, z, extra, deterministic=True)
+    # corrupt the padding region beyond the first end token
+    c2 = np.asarray(c1).copy()
+    c2[0, 4:, 0] = END[0]
+    c2[0, 4:, 1] = END[1]
+    c2[0, 5, 0] = END[0]  # still end tokens; masked identically
+    out2 = sf.compute_logits(params, jnp.asarray(c2), z, extra,
+                             deterministic=True)
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_masker_monotonic_and_end_forcing(rep):
+    B, V = 2, POS_V
+    logits = jnp.zeros((B, V))
+    prev = jnp.asarray([3, END[0]], jnp.int32)
+    cond_pos = make_seq([[5], [5]], [[1], [1]])[..., 0]
+    m = rep.sampling_masker(logits, tuple_i=0, step_j=jnp.int32(2),
+                            prev_pos=prev, cond_pos=cond_pos)
+    m = np.asarray(m)
+    # row 0: positions <= 3 masked (monotonic); completion: pos > 5 masked,
+    # INCLUDING the end token — the sequence may not stop while cond position
+    # 5 is still uncovered (representers.py:141-155 masks positions > next)
+    assert (m[0, :4] < -1e29).all() and m[0, 4] == 0 and m[0, 5] == 0
+    assert (m[0, 6:9] < -1e29).all()
+    # row 1 (dead): everything except end masked
+    assert (m[1, :END[0]] < -1e29).all() and m[1, END[0]] > -1e29
+    # value stage: end pos forces end val
+    mv = rep.sampling_masker(jnp.zeros((B, VAL_V)), tuple_i=1,
+                             step_j=jnp.int32(2),
+                             new_pos=jnp.asarray([2, END[0]], jnp.int32))
+    mv = np.asarray(mv)
+    assert (mv[0] == 0).all()
+    assert mv[1, END[1]] == 1.0 and (mv[1, :END[1]] < -1e29).all()
+
+
+def test_sampler_end_to_end(model_params):
+    sf, params = model_params
+    c = make_seq([[0, 3, 6], [2, 5]], [[5, 2, 9], [1, 3]])
+    sample = jax.jit(lambda p, ci, k: sf.sample_indices(
+        p, ci, k, max_steps=8, top_k=3, top_p=0.9, best_in_first=True))
+    toks, logp = sample(params, c, jax.random.PRNGKey(7))
+    toks = np.asarray(toks)
+    assert toks.shape == (2, 8, 2)
+    assert np.isfinite(np.asarray(logp)).all()
+    for b in range(2):
+        pos = toks[b, :, 0]
+        ends = np.where(pos == END[0])[0]
+        n = ends[0] if len(ends) else len(pos)
+        real = pos[:n]
+        assert (np.diff(real) > 0).all(), f"non-monotonic row {b}: {pos}"
+        # after the first end token, everything is end-padded
+        assert (toks[b, n:, 0] == END[0]).all()
+        assert (toks[b, n:, 1] == END[1]).all()
+        # completion consistency: every real cond position must be covered
+        cond_real = np.asarray(c)[b][np.asarray(c)[b][:, 0] != END[0], 0]
+        for cp in cond_real:
+            assert (real <= cp).any() or (real >= cp).any()
+        # masker guarantees no generated position skips past the next cond pos
+        for cp in cond_real:
+            before = real[real <= cp]
+            assert len(before) == 0 or before.max() <= cp
+
+
+def test_loss_and_grads(model_params, rep):
+    sf, params = model_params
+    c = make_seq([[0, 3, 6]], [[5, 2, 9]])
+    z = make_seq([[1, 4]], [[2, 3]])
+    extra = rep.get_extra_indices(c, z)
+
+    def loss_fn(p):
+        logits = sf.compute_logits(p, c, z, extra, deterministic=True)
+        w = sparse_ops.token_mask(z, END)
+        total = 0.0
+        for i, lg in enumerate(logits):
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            nll = -jnp.take_along_axis(lp, z[..., i:i + 1], axis=-1)[..., 0]
+            total += (nll * w).sum() / w.sum()
+        return total / len(logits)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
