@@ -1,0 +1,150 @@
+// marching_tets.cpp — first-party isosurface extraction for shapeformer_tpu.
+//
+// TPU-native replacement for the reference's PyMCubes dependency
+// (xgutils/geoutil.py:5,199): occupancy grids are evaluated on-device, then
+// meshed here on host.  Uses marching tetrahedra (6-tet cube decomposition)
+// instead of table-driven marching cubes: tiny case logic, no lookup tables,
+// watertight within each cube, with edge-keyed vertex deduplication.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libmarching_tets.so marching_tets.cpp
+// ABI: marching_tets() fills malloc'd buffers; caller frees with mt_free().
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Mesher {
+    const float* grid;
+    int64_t nx, ny, nz;
+    float iso;
+    std::vector<float> verts;         // x,y,z triples in grid-index coords
+    std::vector<int64_t> faces;       // index triples
+    std::unordered_map<uint64_t, int64_t> edge_vertex;
+
+    inline float at(int64_t i, int64_t j, int64_t k) const {
+        return grid[(i * ny + j) * nz + k];
+    }
+    inline int64_t lin(int64_t i, int64_t j, int64_t k) const {
+        return (i * ny + j) * nz + k;
+    }
+
+    // Interpolated vertex on the edge between grid points a and b (deduped).
+    int64_t edge_point(int64_t ai, int64_t aj, int64_t ak,
+                       int64_t bi, int64_t bj, int64_t bk) {
+        int64_t la = lin(ai, aj, ak), lb = lin(bi, bj, bk);
+        if (la > lb) { std::swap(la, lb); std::swap(ai, bi); std::swap(aj, bj); std::swap(ak, bk); }
+        uint64_t key = (uint64_t)la * (uint64_t)(nx * ny * nz) + (uint64_t)lb;
+        auto it = edge_vertex.find(key);
+        if (it != edge_vertex.end()) return it->second;
+        float va = at(ai, aj, ak), vb = at(bi, bj, bk);
+        float denom = vb - va;
+        float t = (denom == 0.0f) ? 0.5f : (iso - va) / denom;
+        if (t < 0.0f) t = 0.0f;
+        if (t > 1.0f) t = 1.0f;
+        int64_t id = (int64_t)(verts.size() / 3);
+        verts.push_back((float)ai + t * (float)(bi - ai));
+        verts.push_back((float)aj + t * (float)(bj - aj));
+        verts.push_back((float)ak + t * (float)(bk - ak));
+        edge_vertex.emplace(key, id);
+        return id;
+    }
+
+    void tri(int64_t a, int64_t b, int64_t c) {
+        if (a == b || b == c || a == c) return;  // degenerate (t clamped)
+        faces.push_back(a); faces.push_back(b); faces.push_back(c);
+    }
+
+    // One tetrahedron given 4 grid-point index triples.
+    void tet(const int64_t p[4][3]) {
+        float v[4];
+        int inside = 0, code = 0;
+        for (int i = 0; i < 4; ++i) {
+            v[i] = at(p[i][0], p[i][1], p[i][2]);
+            if (v[i] > iso) { code |= 1 << i; ++inside; }
+        }
+        if (inside == 0 || inside == 4) return;
+        int in_idx[4], out_idx[4], ni = 0, no = 0;
+        for (int i = 0; i < 4; ++i) {
+            if (code & (1 << i)) in_idx[ni++] = i; else out_idx[no++] = i;
+        }
+        auto ep = [&](int a, int b) {
+            return edge_point(p[a][0], p[a][1], p[a][2],
+                              p[b][0], p[b][1], p[b][2]);
+        };
+        if (inside == 1) {
+            int a = in_idx[0];
+            tri(ep(a, out_idx[0]), ep(a, out_idx[1]), ep(a, out_idx[2]));
+        } else if (inside == 3) {
+            int a = out_idx[0];
+            tri(ep(a, in_idx[0]), ep(a, in_idx[2]), ep(a, in_idx[1]));
+        } else {  // 2 in, 2 out -> quad -> two triangles
+            int a = in_idx[0], b = in_idx[1], c = out_idx[0], d = out_idx[1];
+            int64_t ac = ep(a, c), ad = ep(a, d), bd = ep(b, d), bc = ep(b, c);
+            tri(ac, ad, bd);
+            tri(ac, bd, bc);
+        }
+    }
+
+    void run() {
+        // 6-tet decomposition of each cube around the main diagonal c0-c6.
+        static const int tets[6][4] = {
+            {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+            {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+        // cube corner offsets (i, j, k)
+        static const int corner[8][3] = {
+            {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+            {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
+        for (int64_t i = 0; i + 1 < nx; ++i)
+            for (int64_t j = 0; j + 1 < ny; ++j)
+                for (int64_t k = 0; k + 1 < nz; ++k) {
+                    // skip uniform cubes fast
+                    bool any_in = false, any_out = false;
+                    for (int c = 0; c < 8; ++c) {
+                        float val = at(i + corner[c][0], j + corner[c][1],
+                                       k + corner[c][2]);
+                        if (val > iso) any_in = true; else any_out = true;
+                    }
+                    if (!any_in || !any_out) continue;
+                    for (int t = 0; t < 6; ++t) {
+                        int64_t p[4][3];
+                        for (int c = 0; c < 4; ++c) {
+                            const int* off = corner[tets[t][c]];
+                            p[c][0] = i + off[0];
+                            p[c][1] = j + off[1];
+                            p[c][2] = k + off[2];
+                        }
+                        tet(p);
+                    }
+                }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+int marching_tets(const float* grid, int64_t nx, int64_t ny, int64_t nz,
+                  float iso, float** verts_out, int64_t** faces_out,
+                  int64_t* n_verts, int64_t* n_faces) {
+    Mesher m;
+    m.grid = grid; m.nx = nx; m.ny = ny; m.nz = nz; m.iso = iso;
+    m.edge_vertex.reserve(1 << 16);
+    m.run();
+    *n_verts = (int64_t)(m.verts.size() / 3);
+    *n_faces = (int64_t)(m.faces.size() / 3);
+    *verts_out = (float*)std::malloc(m.verts.size() * sizeof(float));
+    *faces_out = (int64_t*)std::malloc(m.faces.size() * sizeof(int64_t));
+    if ((m.verts.size() && !*verts_out) || (m.faces.size() && !*faces_out))
+        return -1;
+    std::memcpy(*verts_out, m.verts.data(), m.verts.size() * sizeof(float));
+    std::memcpy(*faces_out, m.faces.data(), m.faces.size() * sizeof(int64_t));
+    return 0;
+}
+
+void mt_free(void* p) { std::free(p); }
+
+}  // extern "C"

@@ -1,0 +1,187 @@
+"""Host-side geometry utilities: meshing, sampling, virtual scans, IO.
+
+Semantics parity targets in the reference xgutils/geoutil.py:
+  array2mesh        geoutil.py:175-233 (marching cubes + bbox rescale)
+  sampleMesh        geoutil.py:236-263 (area-weighted triangle sampling)
+  sample_sphere     geoutil.py:45-48
+  hidden_point_removal  geoutil.py:50-73 (spherical flip + convex hull)
+  write_mesh        geoutil.py:509-513
+  shapenet axis conversions  geoutil.py:403-420
+PyMCubes/libigl are replaced by the first-party C++ marching-tets kernel
+(native/marching_tets.cpp) and numpy; the hull comes from scipy's Qhull.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .native import marching_tets
+
+
+# ------------------------------------------------------------------- meshing
+def array2mesh(array, thresh: float = 0.0, dim: int = 3, coords=None,
+               bbox=None, if_decimate: bool = False, decimate_face: int = 4096,
+               cart_coord: bool = True, gaussian_sigma=None):
+    """1-D occupancy/SDF array (r^3,) -> (verts, faces) in the coords' bbox.
+
+    Mirrors geoutil.array2mesh: reshape to a cube, extract the iso-surface,
+    rescale vertices from grid-index coords into the bounding box.
+    (Decimation is a no-op: the reference only decimates via igl when a mesh
+    exceeds decimate_face, purely as an export-size optimization.)
+    """
+    assert dim == 3, "only 3D meshing is supported"
+    from .nputil import array2NDCube
+    grid = array2NDCube(np.asarray(array, np.float32), N=3)
+    verts, faces = marching_tets(grid, iso=float(thresh))
+    if verts.shape[0] == 0:
+        return verts, faces
+    verts = verts / (grid.shape[0] - 1)
+    if coords is not None:
+        coords = np.asarray(coords)
+        bbmin = coords.reshape(-1, 3).min(axis=0)
+        bbmax = coords.reshape(-1, 3).max(axis=0)
+    else:
+        bb = np.asarray(bbox if bbox is not None
+                        else [[-1, -1, -1], [1, 1, 1]], np.float64)
+        bbmin, bbmax = bb[0], bb[1]
+    verts = verts * (bbmax - bbmin) + bbmin
+    return verts.astype(np.float32), faces.astype(np.int64)
+
+
+def sampleMesh(vert, face, sampleN: int, rng=None):
+    """Area-weighted uniform surface sampling (geoutil.sampleMesh)."""
+    rng = rng or np.random.default_rng()
+    vert = np.asarray(vert, np.float64)
+    face = np.asarray(face, np.int64)
+    if face.shape[0] == 0:
+        return np.zeros((sampleN, 3), np.float32)
+    a, b, c = vert[face[:, 0]], vert[face[:, 1]], vert[face[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        fi = rng.integers(0, face.shape[0], sampleN)
+    else:
+        fi = rng.choice(face.shape[0], sampleN, p=areas / total)
+    r1 = np.sqrt(rng.random(sampleN))
+    r2 = rng.random(sampleN)
+    w0, w1, w2 = 1 - r1, r1 * (1 - r2), r1 * r2
+    pts = (w0[:, None] * a[fi] + w1[:, None] * b[fi] + w2[:, None] * c[fi])
+    return pts.astype(np.float32)
+
+
+def mesh_volume_occupancy(vert, face, query_points):
+    """Occupancy of query points against a closed mesh via z-ray parity.
+
+    Lightweight replacement for igl.signed_distance-based checks: counts
+    ray-triangle crossings along +z per query (used by tests and DFAUST gen).
+    """
+    vert = np.asarray(vert, np.float64)
+    face = np.asarray(face, np.int64)
+    q = np.asarray(query_points, np.float64)
+    a, b, c = vert[face[:, 0]], vert[face[:, 1]], vert[face[:, 2]]
+    occ = np.zeros(len(q), dtype=np.int64)
+    # 2D barycentric test in the xy plane; the irrational epsilon offset keeps
+    # rays off triangle edges (edge hits double-count and break parity)
+    eps = np.array([1.1920929e-6 * np.e, 1.1920929e-6 * np.pi])
+    for i, p in enumerate(q):
+        p = p.copy()
+        p[:2] += eps
+        d0 = a[:, :2] - p[None, :2]
+        d1 = b[:, :2] - p[None, :2]
+        d2 = c[:, :2] - p[None, :2]
+        s0 = d0[:, 0] * d1[:, 1] - d0[:, 1] * d1[:, 0]
+        s1 = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        s2 = d2[:, 0] * d0[:, 1] - d2[:, 1] * d0[:, 0]
+        hit = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | \
+              ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
+        if not hit.any():
+            continue
+        denom = s0 + s1 + s2
+        ok = hit & (np.abs(denom) > 1e-12)
+        w0 = np.where(ok, s1 / np.where(ok, denom, 1), 0)
+        w1 = np.where(ok, s2 / np.where(ok, denom, 1), 0)
+        w2 = np.where(ok, s0 / np.where(ok, denom, 1), 0)
+        zhit = w0 * a[:, 2] + w1 * b[:, 2] + w2 * c[:, 2]
+        occ[i] = int(((zhit[ok] > p[2]).sum()) % 2)
+    return occ.astype(np.float32)
+
+
+# -------------------------------------------------------------- virtual scan
+def sample_sphere(point_N: int, dim: int = 3, rng=None):
+    rng = rng or np.random.default_rng()
+    vec = rng.normal(size=(point_N, dim))
+    return vec / np.linalg.norm(vec, axis=1)[..., None]
+
+
+def spherical_flip(points, center, param=np.pi):
+    points = points - center[None, :]
+    norms = np.linalg.norm(points, axis=1)
+    R = norms.max() * (10.0 ** param)
+    return points + 2.0 * ((R - norms) / norms)[:, None] * points
+
+
+def hidden_point_removal(cloud, campos):
+    """Katz et al. visibility: spherical flip + convex hull
+    (geoutil.py:50-73); returns the visible subset of `cloud`."""
+    from scipy.spatial import ConvexHull
+    cloud = np.asarray(cloud, np.float64)
+    flipped = spherical_flip(cloud, np.asarray(campos, np.float64))
+    pts = np.append(flipped, [[0, 0, 0]], axis=0)
+    hull = ConvexHull(pts)
+    visible = hull.vertices[hull.vertices < len(cloud)]
+    return cloud[visible]
+
+
+# --------------------------------------------------------------- conventions
+def shapenetv1_to_shapenetv2(voxel):
+    return voxel[:, :, ::-1]
+
+
+def shapenetv2_to_cart(voxel):
+    return np.transpose(voxel, (2, 1, 0))[:, :, ::-1]
+
+
+# ------------------------------------------------------------------------ IO
+def write_ply(path, vert, face):
+    """Minimal binary-free PLY writer (replaces igl.write_triangle_mesh)."""
+    vert = np.asarray(vert)
+    face = np.asarray(face, np.int64)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vert)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(face)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in vert:
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for t in face:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def read_ply(path):
+    """Reader for the ascii PLY files written by write_ply."""
+    with open(path) as f:
+        n_vert = n_face = 0
+        for line in f:
+            line = line.strip()
+            if line.startswith("element vertex"):
+                n_vert = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_face = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        verts = np.array([[float(x) for x in next(f).split()]
+                          for _ in range(n_vert)], np.float32)
+        faces = np.array([[int(x) for x in next(f).split()[1:4]]
+                          for _ in range(n_face)], np.int64)
+    return verts, faces
+
+
+def write_mesh(data_dir, vert, face, input_name=""):
+    """Mesh export into <data_dir>/meshes/<name>.ply (geoutil.py:509-513)."""
+    mesh_dir = os.path.join(data_dir, "meshes")
+    os.makedirs(mesh_dir, exist_ok=True)
+    path = os.path.join(mesh_dir, f"{input_name or 'mesh'}.ply")
+    write_ply(path, vert, face)
+    return path

@@ -1,0 +1,82 @@
+"""Host geometry tests: C++ marching tetrahedra (sphere fidelity, manifoldness
+properties), area-weighted mesh sampling, hidden-point removal, PLY roundtrip."""
+import numpy as np
+import pytest
+
+from shapeformer_tpu.utils import geoutil
+from shapeformer_tpu.utils.nputil import makeGrid
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    n = 48
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n, n, n]).reshape(n, n, n, 3)
+    sdf = 0.6 - np.linalg.norm(g, axis=-1)  # inside > 0
+    vert, face = geoutil.array2mesh(sdf.reshape(-1), thresh=0.0)
+    return vert, face
+
+
+def test_marching_tets_sphere(sphere_mesh):
+    vert, face = sphere_mesh
+    assert len(vert) > 500 and len(face) > 1000
+    r = np.linalg.norm(vert, axis=1)
+    np.testing.assert_allclose(r, 0.6, atol=0.05)
+    # every face references valid vertices; no degenerate triangles
+    assert face.min() >= 0 and face.max() < len(vert)
+    a, b, c = vert[face[:, 0]], vert[face[:, 1]], vert[face[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    assert (areas > 0).all()
+    # closed surface: every edge shared by exactly 2 faces
+    edges = np.concatenate([face[:, [0, 1]], face[:, [1, 2]], face[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # total area close to 4*pi*r^2
+    assert abs(areas.sum() - 4 * np.pi * 0.36) / (4 * np.pi * 0.36) < 0.1
+
+
+def test_marching_tets_empty_and_full():
+    grid = np.zeros((8, 8, 8), np.float32)
+    v, f = geoutil.array2mesh(grid.reshape(-1), thresh=0.5)
+    assert len(v) == 0 and len(f) == 0
+    v, f = geoutil.array2mesh(np.ones((8, 8, 8), np.float32).reshape(-1), 0.5)
+    assert len(v) == 0 and len(f) == 0
+
+
+def test_sample_mesh(sphere_mesh, rng):
+    vert, face = sphere_mesh
+    pts = geoutil.sampleMesh(vert, face, 5000, rng=rng)
+    assert pts.shape == (5000, 3)
+    r = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(r.mean(), 0.6, atol=0.03)
+    # roughly uniform over the sphere: octant counts comparable
+    octant = (pts[:, 0] > 0).astype(int) * 4 + (pts[:, 1] > 0).astype(int) * 2 \
+        + (pts[:, 2] > 0).astype(int)
+    counts = np.bincount(octant, minlength=8)
+    assert counts.min() > 0.5 * counts.max()
+
+
+def test_hidden_point_removal(rng):
+    pts = geoutil.sample_sphere(2000, rng=rng)
+    cam = np.array([10.0, 0, 0])
+    vis = geoutil.hidden_point_removal(pts, cam)
+    assert 100 < len(vis) < len(pts)
+    # visible points face the camera on average
+    assert vis[:, 0].mean() > 0.2
+    # back hemisphere points essentially absent
+    assert (vis[:, 0] < -0.5).mean() < 0.05
+
+
+def test_ply_roundtrip(sphere_mesh, tmp_path):
+    vert, face = sphere_mesh
+    p = geoutil.write_mesh(str(tmp_path), vert, face, input_name="s")
+    v2, f2 = geoutil.read_ply(p)
+    np.testing.assert_allclose(v2, vert.astype(np.float32), atol=1e-5)
+    assert (f2 == face).all()
+
+
+def test_mesh_volume_occupancy(sphere_mesh, rng):
+    vert, face = sphere_mesh
+    q = np.array([[0, 0, 0], [0.9, 0.9, 0.9], [0.3, 0, 0], [0, 0.7, 0]])
+    occ = geoutil.mesh_volume_occupancy(vert, face, q)
+    assert occ.tolist() == [1, 0, 1, 0]
