@@ -1,0 +1,144 @@
+"""Data pipeline tests: ragged H5 store roundtrip, synthetic IMNet generation,
+Imnet2LowResDataset/Imnet2Dataset items, partial selectors, TransformDataset
+voxel-budget rescale, ListDataset demo layout, DataModule fallbacks."""
+import os
+
+import numpy as np
+import pytest
+
+from shapeformer_tpu.data import partial as partial_mod
+from shapeformer_tpu.data import synthetic
+from shapeformer_tpu.data.loader import DataLoader, collate
+from shapeformer_tpu.datamodule import DataModule
+from shapeformer_tpu.utils import h5store, nputil
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """A workspace with datasets/SynthIM_64 + demo/dataset; chdir'd per use."""
+    root = tmp_path_factory.mktemp("workspace")
+    synthetic.make_synthetic_imnet(
+        str(root / "datasets" / "SynthIM_64"), n_train=4, n_test=2,
+        grid_dim=32, cloud_N=2048, full_res=True)
+    synthetic.make_demo_dataset(str(root / "demo" / "dataset"),
+                                names=("a", "b"), boundary_N=4096,
+                                context_N=1024)
+    return root
+
+
+@pytest.fixture
+def in_root(data_root, monkeypatch):
+    monkeypatch.chdir(data_root)
+    return data_root
+
+
+def test_h5_ragged_roundtrip(tmp_path, rng):
+    arrays = np.array([rng.normal(size=(5, 3)), rng.normal(size=(7, 3)),
+                       rng.normal(size=(2, 3))], dtype=object)
+    path = str(tmp_path / "t.hdf5")
+    h5store.writeh5(path, {"Xbd": arrays, "plain": np.arange(5)})
+    var = h5store.H5Var(path, "Xbd")
+    assert len(var) == 3
+    np.testing.assert_allclose(var[1], arrays[1])
+    np.testing.assert_allclose(var[[0, 2]][1], arrays[2])
+    back = h5store.readh5(path)
+    assert (back["plain"] == np.arange(5)).all()
+    np.testing.assert_allclose(back["Xbd"][0], arrays[0])
+
+
+def test_lowres_dataset_item(in_root):
+    from shapeformer_tpu.data.imnet_datasets.imnet_datasets import \
+        Imnet2LowResDataset
+    ds = Imnet2LowResDataset(
+        dataset="SynthIM_64", split="train", boundary_N=1024, target_N=512,
+        grid_dim=32,
+        partial_opt={"class": "shapeformer.data.partial.BallSelector",
+                     "kwargs": dict(radius=0.4, context_N=256)})
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["Xbd"].shape == (1024, 3)
+    assert item["Xct"].shape == (256, 3)
+    assert item["Xtg"].shape == (512, 3)
+    assert item["Ytg"].shape == (512, 1)
+    assert set(np.unique(item["Ytg"])) <= {0.0, 1.0}
+    # full-grid targets
+    ds_all = Imnet2LowResDataset(dataset="SynthIM_64", split="test",
+                                 boundary_N=512, target_N=-1, grid_dim=32)
+    it = ds_all[0]
+    assert it["Xtg"].shape == (32 ** 3, 3) and it["Ytg"].shape == (32 ** 3, 1)
+    # category subset
+    ds_c = Imnet2LowResDataset(dataset="SynthIM_64", split="train",
+                               cate="0", boundary_N=64, grid_dim=32)
+    assert len(ds_c) == 2
+
+
+def test_fullres_dataset_item(in_root):
+    from shapeformer_tpu.data.imnet_datasets.imnet_datasets import Imnet2Dataset
+    ds = Imnet2Dataset(dataset="SynthIM_64", split="train", boundary_N=256,
+                       target_N=128, grid_dim=32)
+    item = ds[0]
+    assert item["Xtg"].shape == (128, 3) and item["Ytg"].shape == (128, 1)
+
+
+def test_partial_selectors(rng):
+    from shapeformer_tpu.utils.geoutil import sample_sphere
+    Xbd = sample_sphere(4096, rng=rng).astype(np.float32)
+    for sel in [partial_mod.AllSelector(128),
+                partial_mod.BallSelector(radius=0.5, context_N=128),
+                partial_mod.MultiBallSelector(context_N=128),
+                partial_mod.VirtualScanSelector(context_N=128),
+                partial_mod.OrthoVirtualScanSelector(context_N=128),
+                partial_mod.fixedVirtualScanSelector(context_N=128),
+                partial_mod.HalfSpaceSelector(0.5, context_N=128),
+                partial_mod.MixSelector_fixed1(context_N=128)]:
+        Xct = sel(Xbd, rng=rng)
+        assert Xct.shape == (128, 3), type(sel).__name__
+        assert np.isfinite(Xct).all()
+    assert partial_mod.NoneSelector()(Xbd).shape == (0, 3)
+
+
+def test_transform_dataset_budget(in_root):
+    from shapeformer_tpu.data.paper_datasets.transform_dataset import \
+        TransformDataset
+    ds = TransformDataset(
+        split="train", mode=("scale",), max_voxels=50, voxel_dim=16,
+        dset_opt={"class": "shapeformer.data.imnet_datasets.imnet_datasets"
+                           ".Imnet2LowResDataset",
+                  "kwargs": dict(dataset="SynthIM_64", boundary_N=2048,
+                                 target_N=256, grid_dim=32)})
+    item = ds[0]
+    vox = nputil.point2voxel(item["Xbd"][None], grid_dim=16)
+    assert vox.sum() <= 50 * 1.1  # budget respected (within rescale rounding)
+    assert np.abs(item["Xbd"]).max() <= 1.0
+
+
+def test_list_dataset_and_loader(in_root):
+    from shapeformer_tpu.data.paper_datasets.list_dataset import ListDataset
+    ds = ListDataset(str(in_root / "demo" / "dataset" / "demo.lst"),
+                     subsample=True, boundary_N=512, context_N=256)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["Xbd"].shape == (512, 3) and item["Xct"].shape == (256, 3)
+    dl = DataLoader(ds, batch_size=1)
+    batch = next(iter(dl))
+    assert batch["Xbd"].shape == (1, 512, 3)
+    assert batch["name"] == ["a"]
+
+
+def test_datamodule_fallbacks(in_root):
+    dm = DataModule(
+        batch_size=2, test_batch_size=1,
+        trainset_opt={"class": "shapeformer.data.imnet_datasets"
+                               ".imnet_datasets.Imnet2LowResDataset",
+                      "kwargs": dict(dataset="SynthIM_64", boundary_N=128,
+                                     target_N=64, grid_dim=32)},
+        testset_opt={"class": "shapeformer.data.imnet_datasets"
+                              ".imnet_datasets.Imnet2LowResDataset",
+                     "kwargs": dict(dataset="SynthIM_64", boundary_N=128,
+                                    target_N=64, grid_dim=32)})
+    dm.setup()
+    assert dm.val_set is dm.test_set  # val <- test fallback
+    assert dm.visual_set is dm.val_set
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["Xbd"].shape == (2, 128, 3)
+    assert len(dm.test_dataloader()) == 2
