@@ -28,6 +28,17 @@ ALIASES = {
     "xgutils.": "shapeformer_tpu.utils.",
 }
 
+# Exact-path remaps for classes the reference defines inside model modules
+# (callbacks live in shapeformer_tpu.callbacks to keep models framework-pure).
+EXACT_ALIASES = {
+    "shapeformer.models.vqdif.vqdif.VisSparseRecon3D":
+        "shapeformer_tpu.callbacks.vqdif_vis.VisSparseRecon3D",
+    "shapeformer.models.vqdif.vqdif.VisRecon3D":
+        "shapeformer_tpu.callbacks.vqdif_vis.VisRecon3D",
+    "shapeformer.models.shapeformer.shapeformer.VisShapeFormer":
+        "shapeformer_tpu.callbacks.shapeformer_vis.VisShapeFormer",
+}
+
 
 def dictUpdate(d1: dict, d2: dict, recursive: bool = True) -> dict:
     """Recursively update d1 with d2 (d2 wins); mirrors sysutil.dictUpdate."""
@@ -96,6 +107,8 @@ def dump(opt: dict, target: str) -> None:
 
 # ----------------------------------------------------------------- registry
 def resolve_alias(object_path: str) -> str:
+    if object_path in EXACT_ALIASES:
+        return EXACT_ALIASES[object_path]
     for prefix, repl in ALIASES.items():
         if object_path.startswith(prefix):
             return repl + object_path[len(prefix):]

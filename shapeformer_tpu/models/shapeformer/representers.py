@@ -144,11 +144,15 @@ class ShapeRepresenter(Representer):
         self.vqdif_model, self.vqdif_vars = model, variables
 
     # ------------------------------------------------------------- tokenizing
-    def encode_cloud(self, cloud):
-        """(B, N, 3) in [-1,1] -> (quant_feat, quant_ind, mode, (B, L, 2) seq)."""
+    def encode_cloud(self, cloud, vqdif_vars=None):
+        """(B, N, 3) in [-1,1] -> (quant_feat, quant_ind, mode, (B, L, 2) seq).
+
+        vqdif_vars overrides the stored frozen variables so jitted callers can
+        thread them as traced arguments instead of baked-in constants."""
         from ..vqdif.vqdif import VQDIF
         quant_ind, mode, encoded = self.vqdif_model.apply(
-            self.vqdif_vars, cloud * self.cloud_shrinkage,
+            vqdif_vars if vqdif_vars is not None else self.vqdif_vars,
+            cloud * self.cloud_shrinkage,
             method=VQDIF.quantize_cloud)
         vocab = self.vqdif_model.quantizer_opt["kwargs"]["vocab_size"]
         seq, mode = sparse_ops.dense2sparse(
@@ -179,14 +183,15 @@ class ShapeRepresenter(Representer):
             jnp.where(keep[..., None], c_indices, e[None, None, :]))
         return out[:, :L, :]
 
-    def get_indices(self, Xct, Xbd=None, stage="train", rng=None, **kwargs):
+    def get_indices(self, Xct, Xbd=None, stage="train", rng=None,
+                    vqdif_vars=None, **kwargs):
         """-> (c_indices, z_indices, extra_indices, others); all (B, L, .)
         statically padded (representers.py:79-103)."""
-        _, _, mode1, c_indices = self.encode_cloud(Xct)
+        _, _, mode1, c_indices = self.encode_cloud(Xct, vqdif_vars)
         if Xbd is None:
             z_indices = c_indices[:, :0, :]
         else:
-            _, _, _, z_indices = self.encode_cloud(Xbd)
+            _, _, _, z_indices = self.encode_cloud(Xbd, vqdif_vars)
         if self.uncond:
             e = jnp.asarray(self.input_end_tokens, jnp.int32)
             c_indices = jnp.broadcast_to(e[None, None, :], c_indices.shape

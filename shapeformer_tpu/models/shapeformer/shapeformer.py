@@ -89,7 +89,7 @@ class ShapeFormer:
             deterministic=deterministic, rngs=rngs)
         return [lg[:, L_c - 1:, :] for lg in logits]
 
-    def loss(self, params, batch, rng=None, stage="train"):
+    def loss(self, params, batch, rng=None, stage="train", vqdif_vars=None):
         """Per-element masked CE averaged over tuple elements
         (shared_step, shapeformer.py:132-140; masking reproduces the
         reference's batch-size-1 dynamic padding, see ops.sparse.token_mask)."""
@@ -97,7 +97,7 @@ class ShapeFormer:
         if rng is not None:
             rep_rng, tok_rng = jax.random.split(rng)
         c, z, extra, _ = self.representer.get_indices(
-            stage=stage, rng=rep_rng,
+            stage=stage, rng=rep_rng, vqdif_vars=vqdif_vars,
             Xct=batch["Xct"], Xbd=batch.get("Xbd"))
         logits = self.compute_logits(params, c, z, extra, rng=tok_rng,
                                      deterministic=(stage != "train"))

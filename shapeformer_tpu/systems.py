@@ -1,0 +1,181 @@
+"""Training systems: optimizer/step logic around the pure models.
+
+This layer plays the role of the reference's pl.LightningModule methods
+(training_step / validation_step / configure_optimizers) in functional form:
+  VQDIFSystem        <- vqdif.py:100-137  (Adam + StepLR, BCE + beta*commit)
+  ShapeFormerSystem  <- shapeformer.py:132-207 (AdamW(0.9, 0.95) with the
+                        minGPT decay/no-decay split, per-element CE)
+Every step is jit-compiled with donated state; metrics come back as scalars.
+Device placement / sharding is injected by shapeformer_tpu.parallel when a
+mesh is configured — the systems themselves are sharding-agnostic.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import config as _config
+from .models.vqdif.vqdif import VQDIF, vq_loss
+
+
+def step_lr_schedule(lr: float, optim_opt: dict, steps_per_epoch: int):
+    """StepLR(step_size epochs, gamma) as an optax schedule (vqdif.py:128-136)."""
+    sched = (optim_opt or {}).get("scheduler", "None")
+    if sched == "StepLR":
+        step_size = int(optim_opt["step_size"])
+        gamma = float(optim_opt["gamma"])
+
+        def fn(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return lr * gamma ** (epoch // step_size)
+        return fn
+    if sched in ("None", None):
+        return lr
+    raise NotImplementedError(f"Can not use scheduler:{sched}")
+
+
+class VQDIFSystem:
+    """Functional train/eval loop state for the VQDIF autoencoder."""
+
+    def __init__(self, pl_model_opt: dict, steps_per_epoch: int = 1000):
+        self.hyper_parameters = dict(pl_model_opt.get("kwargs", {}))
+        self.model: VQDIF = _config.instantiate_from_opt(pl_model_opt)
+        optim_opt = self.model.optim_opt or {"lr": 1e-4, "scheduler": "None"}
+        self.tx = optax.adam(step_lr_schedule(float(optim_opt["lr"]),
+                                              optim_opt, steps_per_epoch))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def create_state(self, rng, sample_batch=None):
+        sample_batch = sample_batch or {}
+        if "Xbd" in sample_batch:
+            Xbd = jnp.asarray(sample_batch["Xbd"])
+        elif "Xct" in sample_batch:
+            Xbd = jnp.asarray(sample_batch["Xct"])
+        else:
+            Xbd = jnp.zeros((1, 512, 3), jnp.float32)
+        Xtg = (jnp.asarray(sample_batch["Xtg"]) if "Xtg" in sample_batch
+               else jnp.zeros((1, 256, 3), jnp.float32))
+        variables = self.model.init(rng, Xbd, Xtg)
+        return dict(params=variables["params"], vq=variables["vq"],
+                    opt_state=self.tx.init(variables["params"]),
+                    step=jnp.int32(0))
+
+    def variables(self, state):
+        return {"params": state["params"], "vq": state["vq"]}
+
+    # ------------------------------------------------------------------ steps
+    def _loss(self, params, vq, batch, train):
+        model = self.model
+        Xbd = batch["Xct"] if model.Xct_as_Xbd else batch["Xbd"]
+        out, upd = model.apply({"params": params, "vq": vq}, Xbd,
+                               batch["Xtg"], train=train,
+                               mutable=["vq"] if train else [])
+        losses = vq_loss(out["logits"], batch["Ytg"], out["quant_diff"],
+                         beta=model.vq_beta)
+        return losses["loss"], (losses, upd.get("vq", vq))
+
+    def _train_step_impl(self, state, batch):
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        (_, (losses, new_vq)), grads = grad_fn(
+            state["params"], state["vq"], batch, True)
+        updates, opt_state = self.tx.update(grads, state["opt_state"],
+                                            state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(params=params, vq=new_vq, opt_state=opt_state,
+                         step=state["step"] + 1)
+        return new_state, losses
+
+    def _eval_step_impl(self, state, batch):
+        _, (losses, _) = self._loss(state["params"], state["vq"], batch, False)
+        return losses
+
+    def train_step(self, state, batch, rng=None):
+        return self._train_step(state, _device_batch(batch))
+
+    def eval_step(self, state, batch, rng=None):
+        return self._eval_step(state, _device_batch(batch))
+
+
+class ShapeFormerSystem:
+    """Functional train/eval loop state for the conditional transformer."""
+
+    def __init__(self, pl_model_opt: dict, steps_per_epoch: int = 1000):
+        from .models.shapeformer.shapeformer import ShapeFormer
+        self.hyper_parameters = dict(pl_model_opt.get("kwargs", {}))
+        self.model: ShapeFormer = _config.instantiate_from_opt(pl_model_opt)
+        optim_opt = self.model.optim_opt or {"lr": 1e-5}
+        lr = step_lr_schedule(float(optim_opt.get("lr", 1e-5)), optim_opt,
+                              steps_per_epoch)
+        # minGPT split (shapeformer.py:158-207): weight decay only on Dense
+        # kernels; biases, LayerNorm scales, embeddings, pos embs are exempt.
+        self.tx = optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01,
+                              mask=self._decay_mask)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    @staticmethod
+    def _decay_mask(params):
+        def walk(tree, path=()):
+            if isinstance(tree, dict):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            return path[-1] == "kernel"
+        return walk(params)
+
+    @property
+    def vqdif_vars(self):
+        return self.model.representer.vqdif_vars
+
+    def create_state(self, rng, sample_batch=None):
+        params = self.model.init_variables(rng)
+        return dict(params=params, opt_state=self.tx.init(params["params"]),
+                    step=jnp.int32(0))
+
+    def variables(self, state):
+        return {"params": state["params"]}
+
+    def _train_step_impl(self, state, batch, rng, vqdif_vars):
+        def lf(p):
+            return self.model.loss(p, batch, rng=rng, stage="train",
+                                   vqdif_vars=vqdif_vars)
+        loss, grads = jax.value_and_grad(lf)(state["params"])
+        inner = state["params"]["params"]
+        updates, opt_state = self.tx.update(grads["params"],
+                                            state["opt_state"], inner)
+        params = {"params": optax.apply_updates(inner, updates)}
+        new_state = dict(params=params, opt_state=opt_state,
+                         step=state["step"] + 1)
+        return new_state, dict(loss=loss)
+
+    def _eval_step_impl(self, state, batch, rng, vqdif_vars):
+        loss = self.model.loss(state["params"], batch, rng=rng, stage="val",
+                               vqdif_vars=vqdif_vars)
+        return dict(loss=loss)
+
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, _device_batch(batch), rng,
+                                self.vqdif_vars)
+
+    def eval_step(self, state, batch, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._eval_step(state, _device_batch(batch), rng,
+                               self.vqdif_vars)
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jnp.ndarray))}
+
+
+def build_system(pl_model_opt: dict, steps_per_epoch: int = 1000):
+    """Dispatch a pl_model_opt to its system by model class name."""
+    cls_name = pl_model_opt["class"].rsplit(".", 1)[-1]
+    if cls_name == "VQDIF":
+        return VQDIFSystem(pl_model_opt, steps_per_epoch)
+    if cls_name == "ShapeFormer":
+        return ShapeFormerSystem(pl_model_opt, steps_per_epoch)
+    raise ValueError(f"no system registered for model class {cls_name}")

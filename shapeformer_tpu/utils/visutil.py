@@ -1,0 +1,108 @@
+"""Minimal matplotlib-based 3D rendering (replaces the fresnel ray tracer).
+
+The reference renders meshes/clouds/voxel plots through the fresnel C++ path
+tracer (xgutils/vis/fresnelvis.py, vis3d.py) — unavailable here and pure
+observability, not model path (SURVEY.md section 2.3).  These helpers produce
+comparable diagnostic images with matplotlib's Agg backend.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+from mpl_toolkits.mplot3d.art3d import Poly3DCollection  # noqa: E402
+
+DEFAULT_CAMERA = dict(elev=25, azim=45)
+
+
+def _setup_axis(ax, lim=1.0):
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
+    ax.set_zlim(-lim, lim)
+    ax.set_box_aspect((1, 1, 1))
+    ax.axis("off")
+
+
+def _fig_to_array(fig):
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def render_mesh(vert, face, resolution=(256, 256), camera=None, color="0.7"):
+    """Flat-shaded mesh render -> (H, W, 3) uint8."""
+    cam = dict(DEFAULT_CAMERA, **(camera or {}))
+    fig = plt.figure(figsize=(resolution[0] / 100, resolution[1] / 100),
+                     dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    _setup_axis(ax)
+    ax.view_init(elev=cam["elev"], azim=cam["azim"])
+    if len(face):
+        tris = np.asarray(vert)[np.asarray(face)]
+        # cheap lambert shading on face normals
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        n = n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
+        light = np.array([0.5, 0.5, 0.7])
+        shade = 0.35 + 0.65 * np.abs(n @ light)
+        coll = Poly3DCollection(tris, linewidths=0)
+        coll.set_facecolor(plt.cm.gray(shade * 0.9))
+        ax.add_collection3d(coll)
+    return _fig_to_array(fig)
+
+
+def render_cloud(points, resolution=(256, 256), camera=None, s=1.0,
+                 color="#3465a4"):
+    cam = dict(DEFAULT_CAMERA, **(camera or {}))
+    fig = plt.figure(figsize=(resolution[0] / 100, resolution[1] / 100),
+                     dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    _setup_axis(ax)
+    ax.view_init(elev=cam["elev"], azim=cam["azim"])
+    p = np.asarray(points)
+    if len(p):
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=s, c=color, linewidths=0)
+    return _fig_to_array(fig)
+
+
+def render_voxel_indices(pos_ind, val_ind, depth=4, val_max=4096,
+                         resolution=(256, 256), camera=None):
+    """Sparse VQ token plot: occupied cells colored by codebook index
+    (replaces vis3d.IndexVoxelPlot, vis3d.py:77-104)."""
+    cam = dict(DEFAULT_CAMERA, **(camera or {}))
+    res = 2 ** depth
+    fig = plt.figure(figsize=(resolution[0] / 100, resolution[1] / 100),
+                     dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    _setup_axis(ax, lim=res)
+    ax.view_init(elev=cam["elev"], azim=cam["azim"])
+    pos_ind = np.asarray(pos_ind)
+    if len(pos_ind):
+        ijk = np.stack(np.unravel_index(pos_ind, (res, res, res)), axis=-1)
+        colors = plt.cm.turbo((np.asarray(val_ind) % val_max) / val_max)
+        ax.scatter(ijk[:, 0], ijk[:, 1], ijk[:, 2], c=colors, marker="s",
+                   s=120.0 * (16 / res) ** 2, linewidths=0)
+        _setup_axis(ax, lim=res)
+    return _fig_to_array(fig)
+
+
+def saveImg(path, img):
+    plt.imsave(path, np.asarray(img))
+
+
+def imageGrid(images, cols=None):
+    """Stack equally-sized images into one grid image."""
+    images = [np.asarray(im) for im in images]
+    if not images:
+        return np.zeros((1, 1, 3), np.uint8)
+    h, w = images[0].shape[:2]
+    cols = cols or len(images)
+    rows = (len(images) + cols - 1) // cols
+    grid = np.full((rows * h, cols * w, 3), 255, np.uint8)
+    for i, im in enumerate(images):
+        r, c = divmod(i, cols)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im[..., :3]
+    return grid
