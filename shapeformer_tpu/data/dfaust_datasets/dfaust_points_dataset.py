@@ -1,0 +1,2 @@
+"""Module-path shim for the points-only variant (dfaust_points_dataset.py:14)."""
+from .dfaust_dataset import DFAUSTPointsDataset as DFAUSTDataset  # noqa: F401

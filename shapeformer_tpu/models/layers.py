@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -33,3 +34,93 @@ class ResnetBlockFC(nn.Module):
             x_s = nn.Dense(size_out, use_bias=False, dtype=self.dtype,
                            name="shortcut")(x)
         return x_s + dx
+
+
+class CBatchNorm1d(nn.Module):
+    """Conditional batch norm: gamma/beta regressed from a latent code
+    (layers.py:193-244).  Normalization is per-feature over (B, N) like the
+    torch BatchNorm1d it mirrors; conditioning via two Dense maps of c."""
+    c_dim: int
+    f_dim: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c, use_running_average: bool = False):
+        # x: (B, N, f_dim), c: (B, c_dim)
+        gamma = nn.Dense(self.f_dim, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.ones, name="conv_gamma")(c)
+        beta = nn.Dense(self.f_dim, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros, name="conv_beta")(c)
+        mean = x.mean(axis=(0, 1), keepdims=True)
+        var = x.var(axis=(0, 1), keepdims=True)
+        norm = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return gamma[:, None, :] * norm + beta[:, None, :]
+
+
+class CResnetBlockConv1d(nn.Module):
+    """Conditionally-normalized residual block (layers.py:51-109)."""
+    c_dim: int
+    size_in: int
+    size_h: Optional[int] = None
+    size_out: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        size_h = self.size_h or self.size_in
+        size_out = self.size_out or self.size_in
+        net = CBatchNorm1d(self.c_dim, self.size_in, dtype=self.dtype,
+                           name="bn_0")(x, c)
+        net = nn.Dense(size_h, dtype=self.dtype, name="fc_0")(nn.relu(net))
+        net = CBatchNorm1d(self.c_dim, size_h, dtype=self.dtype,
+                           name="bn_1")(net, c)
+        dx = nn.Dense(size_out, dtype=self.dtype, name="fc_1",
+                      kernel_init=nn.initializers.zeros)(nn.relu(net))
+        if self.size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(size_out, use_bias=False, dtype=self.dtype,
+                           name="shortcut")(x)
+        return x_s + dx
+
+
+class ResnetBlockConv1d(nn.Module):
+    """Unconditional 1d-conv-style residual block (layers.py:110-158)."""
+    size_in: int
+    size_h: Optional[int] = None
+    size_out: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        size_h = self.size_h or self.size_in
+        size_out = self.size_out or self.size_in
+        net = nn.Dense(size_h, dtype=self.dtype, name="fc_0")(nn.relu(x))
+        dx = nn.Dense(size_out, dtype=self.dtype, name="fc_1",
+                      kernel_init=nn.initializers.zeros)(nn.relu(net))
+        if self.size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(size_out, use_bias=False, dtype=self.dtype,
+                           name="shortcut")(x)
+        return x_s + dx
+
+
+class AffineLayer(nn.Module):
+    """Learned 3D affine transform of query points (layers.py:159-192)."""
+    c_dim: int
+    dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, c):
+        A = nn.Dense(self.dim * self.dim, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=lambda *a: jnp.eye(self.dim).reshape(-1),
+                     name="fc_A")(c)
+        b = nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros, name="fc_b")(c)
+        A = A.reshape(-1, self.dim, self.dim)
+        return jnp.einsum("bij,bnj->bni", A, p) + b[:, None, :]

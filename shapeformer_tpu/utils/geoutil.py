@@ -107,6 +107,107 @@ def mesh_volume_occupancy(vert, face, query_points):
     return occ.astype(np.float32)
 
 
+# ------------------------------------------------------------------- SDF/occ
+def mesh2occupancy(vert, face, grid_dim: int = 64, surface_samples: int = 500000,
+                   rng=None):
+    """Volumetric occupancy of a closed mesh on a grid_dim^3 'on'-mode grid
+    over [-1,1]^3, via surface voxelization + outside flood fill.
+
+    Fully vectorized replacement for igl-based inside tests: robust to
+    non-manifold patches (anything not reachable from the boundary without
+    crossing the surface counts as inside).
+    """
+    from scipy import ndimage
+    rng = rng or np.random.default_rng(0)
+    pts = sampleMesh(vert, face, surface_samples, rng=rng)
+    # 'on'-mode grid: coordinate c -> index round((c+1)/2*(n-1))
+    idx = np.clip(np.round((pts + 1) / 2 * (grid_dim - 1)), 0,
+                  grid_dim - 1).astype(np.int64)
+    surf = np.zeros((grid_dim,) * 3, bool)
+    surf[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    outside_seed = np.zeros_like(surf)
+    outside_seed[0, :, :] = outside_seed[-1, :, :] = True
+    outside_seed[:, 0, :] = outside_seed[:, -1, :] = True
+    outside_seed[:, :, 0] = outside_seed[:, :, -1] = True
+    outside_seed &= ~surf
+    outside = ndimage.binary_propagation(outside_seed, mask=~surf)
+    return ~outside
+
+
+def mesh2sdf(vert, face, gridDim: int = 64, surface_samples: int = 500000,
+             rng=None):
+    """(gridDim^3, 4) array of [x, y, z, sdf] like geoutil.mesh2sdf
+    (geoutil.py:282); sign convention: negative inside (igl default)."""
+    from scipy.spatial import cKDTree
+    from .nputil import makeGrid
+    rng = rng or np.random.default_rng(0)
+    coords = makeGrid([-1, -1, -1.0], [1.0, 1, 1], [gridDim] * 3,
+                      indexing="ij")
+    pts = sampleMesh(vert, face, surface_samples, rng=rng)
+    dist, _ = cKDTree(pts).query(coords, k=1, workers=-1)
+    occ = mesh2occupancy(vert, face, grid_dim=gridDim,
+                         surface_samples=surface_samples, rng=rng)
+    sdf = np.where(occ.reshape(-1), -dist, dist)
+    return np.concatenate([coords, sdf[:, None]], axis=-1)
+
+
+def signed_distance(queries, vert, face, grid_dim: int = 128,
+                    surface_samples: int = 500000, rng=None):
+    """Approximate signed distance of queries to a closed mesh (replaces
+    igl.signed_distance, geoutil.py:265): unsigned distance from a dense
+    surface-sample KD-tree, sign from a flood-filled occupancy grid."""
+    from scipy.spatial import cKDTree
+    rng = rng or np.random.default_rng(0)
+    queries = np.asarray(queries, np.float64)
+    pts = sampleMesh(vert, face, surface_samples, rng=rng)
+    dist, nearest = cKDTree(pts).query(queries, k=1, workers=-1)
+    occ = mesh2occupancy(vert, face, grid_dim=grid_dim,
+                         surface_samples=surface_samples, rng=rng)
+    qidx = np.clip(np.round((queries + 1) / 2 * (grid_dim - 1)), 0,
+                   grid_dim - 1).astype(np.int64)
+    inside = occ[qidx[:, 0], qidx[:, 1], qidx[:, 2]]
+    sd = np.where(inside, -dist, dist)
+    return sd, nearest, pts[nearest]
+
+
+def morph_voxelization(vert, face, grid_dim: int = 256, selem_size: int = 3,
+                       surface_samples: int = 1000000, rng=None):
+    """Morphology-closed solid voxelization (geoutil.py:383): voxelize the
+    surface, binary-close with a selem_size box, flood-fill the outside."""
+    from scipy import ndimage
+    rng = rng or np.random.default_rng(0)
+    pts = sampleMesh(vert, face, surface_samples, rng=rng)
+    idx = np.clip(np.round((pts + 1) / 2 * (grid_dim - 1)), 0,
+                  grid_dim - 1).astype(np.int64)
+    surf = np.zeros((grid_dim,) * 3, bool)
+    surf[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    if selem_size > 0:
+        surf = ndimage.binary_closing(surf, structure=np.ones((selem_size,) * 3))
+    filled = ndimage.binary_fill_holes(surf)
+    return filled, surf
+
+
+# ----------------------------------------------------------------- obj files
+def read_obj(path):
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                faces.append([int(t.split("/")[0]) - 1
+                              for t in line.split()[1:4]])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
+def write_obj(path, verts, faces):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for t in np.asarray(faces) + 1:
+            f.write(f"f {t[0]} {t[1]} {t[2]}\n")
+
+
 # -------------------------------------------------------------- virtual scan
 def sample_sphere(point_N: int, dim: int = 3, rng=None):
     rng = rng or np.random.default_rng()

@@ -1,0 +1,194 @@
+"""Coverage tests for the wider component inventory (SURVEY.md section 2.1):
+pointnet encoders, conditional layers, permuters, collators, metrics, qdaq,
+DFAUST datasets (on generated fixtures), networks zoo, Generator3D."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shapeformer_tpu.ops import metrics
+
+
+# --------------------------------------------------------------------- layers
+def test_pointnet_encoders(rng):
+    from shapeformer_tpu.models.pointnet import ResnetPointnet, SimplePointnet
+    p = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    for cls in (SimplePointnet, ResnetPointnet):
+        m = cls(c_dim=16, hidden_dim=8)
+        out, _ = jax.vmap(lambda x: (x, 0))(p), None  # keep shapes obvious
+        c = m.apply(m.init(jax.random.PRNGKey(0), p), p)
+        assert c.shape == (2, 16)
+        assert np.isfinite(np.asarray(c)).all()
+
+
+def test_conditional_layers(rng):
+    from shapeformer_tpu.models.layers import (AffineLayer, CResnetBlockConv1d,
+                                               ResnetBlockConv1d)
+    x = jnp.asarray(rng.normal(size=(2, 32, 8)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    m = CResnetBlockConv1d(c_dim=4, size_in=8)
+    out = m.apply(m.init(jax.random.PRNGKey(0), x, c), x, c)
+    assert out.shape == x.shape
+    m2 = ResnetBlockConv1d(size_in=8, size_out=12)
+    out2 = m2.apply(m2.init(jax.random.PRNGKey(0), x), x)
+    assert out2.shape == (2, 32, 12)
+    p = jnp.asarray(rng.normal(size=(2, 16, 3)), jnp.float32)
+    m3 = AffineLayer(c_dim=4)
+    out3 = m3.apply(m3.init(jax.random.PRNGKey(0), p, c), p, c)
+    # zero-init A regresses to identity transform at init
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(p), atol=1e-5)
+
+
+def test_networks_zoo(rng):
+    from shapeformer_tpu.models.networks import (AttentionModule,
+                                                 DeterministicEncoder,
+                                                 ImplicitModule, MLP,
+                                                 SineLayer)
+    x = jnp.asarray(rng.normal(size=(2, 10, 3)), jnp.float32)
+    m = MLP((16, 16, 1))
+    assert m.apply(m.init(jax.random.PRNGKey(0), x), x).shape == (2, 10, 1)
+    s = SineLayer(16, is_first=True)
+    out = s.apply(s.init(jax.random.PRNGKey(0), x), x)
+    assert float(jnp.abs(out).max()) <= 1.0
+    im = ImplicitModule(hidden=16, n_layers=2)
+    assert im.apply(im.init(jax.random.PRNGKey(0), x), x).shape == (2, 10, 1)
+    for kind in ("uniform", "laplace", "dotproduct", "multihead"):
+        att = AttentionModule(dim_hidden=8, kind=kind)
+        q = jnp.asarray(rng.normal(size=(2, 5, 3)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(2, 10, 8)), jnp.float32)
+        out = att.apply(att.init(jax.random.PRNGKey(0), q, x, v), q, x, v)
+        assert out.shape == (2, 5, 8), kind
+    enc = DeterministicEncoder(dim_hidden=8)
+    y = jnp.asarray(rng.normal(size=(2, 10, 1)), jnp.float32)
+    out = enc.apply(enc.init(jax.random.PRNGKey(0), x, y, q), x, y, q)
+    assert out.shape == (2, 5, 8)
+
+
+# ------------------------------------------------------------------ permuters
+def test_permuters():
+    from shapeformer_tpu.models.shapeformer.transformer import permuter as P
+    H = W = 8
+    x = jnp.arange(H * W)[None, :]
+    for cls in (P.Identity, P.Subsample, P.ZCurve, P.SpiralOut, P.SpiralIn,
+                P.Random, P.AlternateParsing):
+        perm = cls(H, W)
+        fwd = perm(x)
+        back = perm(fwd, reverse=True)
+        assert (np.asarray(back) == np.asarray(x)).all(), cls.__name__
+        assert sorted(np.asarray(fwd)[0].tolist()) == list(range(H * W))
+    # spiral starts at the center cell
+    so = P.SpiralOut(H, W)
+    assert so.forward_ind[0] == (H // 2) * W + W // 2
+
+
+# ------------------------------------------------------------------ collators
+def test_np_collators(rng):
+    from shapeformer_tpu.data.utils import NP_collate_fn, nnrecon_collate_fn
+    items = [dict(X=rng.normal(size=(100, 3)).astype(np.float32),
+                  Y=rng.normal(size=(100, 1)).astype(np.float32))
+             for _ in range(3)]
+    out = NP_collate_fn(items, context_range=(8, 16), target_range=(8, 16),
+                        seed=0)
+    assert out["Xct"].shape[0] == 3 and 8 <= out["Xct"].shape[1] <= 16
+    assert out["Xtg"].shape[2] == 3 and out["Ytg"].shape[2] == 1
+    out2 = nnrecon_collate_fn(items, seed=0)
+    assert out2["Xtg"].shape == (3, 100, 3)
+
+
+# -------------------------------------------------------------------- metrics
+def test_metrics(rng):
+    occ = rng.random((2, 64)) > 0.5
+    assert np.allclose(metrics.compute_iou(occ, occ), 1.0)
+    a = rng.normal(size=(500, 3))
+    assert metrics.chamfer_distance(a, a) < 1e-12
+    b = a + 0.1
+    cd = metrics.chamfer_distance(a, b)
+    assert 0 < cd < 0.1
+    tmd = metrics.total_mutual_difference([a, b, a + 0.2])
+    assert tmd > 0
+
+
+def test_eval_dir(tmp_path, rng):
+    pcs = {f"recon_{i}": rng.normal(size=(1000, 3)) for i in range(3)}
+    np.savez(tmp_path / "shape.npz", eval_pc=pcs["recon_0"], **pcs)
+    rows, summary = metrics.evaluate_eval_dir(str(tmp_path))
+    assert rows[0]["name"] == "shape" and rows[0]["tmd"] > 0
+    assert "mean_tmd" in summary
+
+
+# ----------------------------------------------------------------------- qdaq
+class _TouchJob:
+    """Module-level so the spawn context can pickle it (like the reference's
+    module-level ExpJob, trainer.py:301)."""
+
+    def __init__(self, path):
+        self.path = str(path)
+
+    def run(self, device_id):
+        with open(self.path, "w") as f:
+            f.write(str(device_id))
+
+
+def test_qdaq_runs_jobs(tmp_path):
+    from shapeformer_tpu.utils.qdaq import start
+
+    jobs = [_TouchJob(tmp_path / f"j{i}.txt") for i in range(3)]
+    codes = start(jobs, device_ids=[0, 1],
+                  log_path=str(tmp_path / "multip.out"))
+    assert codes == [0, 0, 0]
+    assert all((tmp_path / f"j{i}.txt").exists() for i in range(3))
+
+
+# --------------------------------------------------------------------- DFAUST
+def test_dfaust_dataset_roundtrip(tmp_path, rng, monkeypatch):
+    from shapeformer_tpu.data.dfaust_datasets.dfaust_dataset import (
+        DFAUSTDataset, DFAUSTV1Dataset)
+    from shapeformer_tpu.data.dfaust_datasets.datagen import \
+        generate_dfaust_sdf_samples as gen
+    from shapeformer_tpu.utils import geoutil
+    from shapeformer_tpu.utils.nputil import makeGrid
+    # build one synthetic 'frame': a sphere mesh written as obj
+    n = 24
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n] * 3).reshape(n, n, n, 3)
+    vert, face = geoutil.array2mesh(
+        (0.5 - np.linalg.norm(g, axis=-1)).reshape(-1), thresh=0.0)
+    seq_dir = tmp_path / "data" / "seq01"
+    os.makedirs(seq_dir)
+    geoutil.write_obj(seq_dir / "00000.obj", vert, face)
+    # v1 datagen (small sample count for speed)
+    orig_gen = gen.generate_gt_samples
+    monkeypatch.setattr(gen, "generate_gt_samples",
+                        lambda p, **kw: orig_gen(p, sample_N=512))
+    assert gen.generate_dfaust_shape_sdf_samples(str(seq_dir / "00000.obj")) == 0
+    # v0 file for the dense-grid variant
+    sdf = geoutil.mesh2sdf(vert, face, gridDim=16,
+                           surface_samples=20000)[:, 3]
+    np.save(seq_dir / "00000_v0_res16.npy",
+            dict(Xbd=geoutil.sampleMesh(vert, face, 1024), Ytg=sdf))
+    ds = DFAUSTDataset(dataset_path=str(tmp_path / "data") + "/",
+                       data_list=["seq01"], boundary_N=256, target_N=128,
+                       resolution=16)
+    item = ds[0]
+    assert item["Xbd"].shape == (256, 3) and item["Ytg"].shape == (128, 1)
+    assert 0 < item["Ytg"].mean() < 1  # both inside and outside probes
+    ds1 = DFAUSTV1Dataset(dataset_path=str(tmp_path / "data") + "/",
+                          data_list=["seq01"], boundary_N=128, target_N=64)
+    item1 = ds1[0]
+    assert item1["Xtg"].shape == (64, 3) and item1["Ytg"].shape == (64, 1)
+
+
+def test_signed_distance_sphere(rng):
+    from shapeformer_tpu.utils import geoutil
+    from shapeformer_tpu.utils.nputil import makeGrid
+    n = 32
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n] * 3).reshape(n, n, n, 3)
+    vert, face = geoutil.array2mesh(
+        (0.6 - np.linalg.norm(g, axis=-1)).reshape(-1), thresh=0.0)
+    q = np.array([[0, 0, 0], [0.9, 0.9, 0.9], [0.3, 0, 0]])
+    sd, _, _ = geoutil.signed_distance(q, vert, face, grid_dim=64,
+                                       surface_samples=100000)
+    assert sd[0] < 0 and sd[2] < 0 and sd[1] > 0
+    assert abs(-sd[0] - 0.6) < 0.08
+    assert abs(sd[1] - (np.sqrt(3) * 0.9 - 0.6)) < 0.08
