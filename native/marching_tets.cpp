@@ -9,37 +9,79 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libmarching_tets.so marching_tets.cpp
 // ABI: marching_tets() fills malloc'd buffers; caller frees with mt_free().
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 namespace {
 
+// The 13 canonical (lexicographically positive) grid-point offsets an edge of
+// the 6-tet cube decomposition can have: 3 axis edges, 6 face diagonals,
+// 4 main diagonals.  Since the sweep goes slab by slab along i and every edge's
+// canonical origin lies in slice i or i+1, vertex dedup uses two ROLLING
+// per-slice id planes of ny*nz*13 int32 (~1.7 MB at 128^2 — cache resident)
+// instead of a whole-grid table or hash map: the random-access dedup lookups
+// that dominate the profile stay in L2.
 struct Mesher {
     const float* grid;
     int64_t nx, ny, nz;
     float iso;
     std::vector<float> verts;         // x,y,z triples in grid-index coords
     std::vector<int64_t> faces;       // index triples
-    std::unordered_map<uint64_t, int64_t> edge_vertex;
+    std::vector<int32_t> id_plane[2]; // slice i / slice i+1 edge-vertex ids
+    int32_t* cur = nullptr;           // ids whose canonical origin is slice i
+    int32_t* nxt = nullptr;           // ... slice i+1
+    int64_t i_base = 0;               // current slab
+    int dir_map[27];
+
+    void init_ids() {
+        for (int i = 0; i < 27; ++i) dir_map[i] = -1;
+        int next = 0;
+        for (int di = -1; di <= 1; ++di)
+            for (int dj = -1; dj <= 1; ++dj)
+                for (int dk = -1; dk <= 1; ++dk) {
+                    if (di == 0 && dj == 0 && dk == 0) continue;
+                    bool pos = di > 0 || (di == 0 && (dj > 0 || (dj == 0 && dk > 0)));
+                    if (pos)
+                        dir_map[(di + 1) * 9 + (dj + 1) * 3 + (dk + 1)] = next++;
+                }
+        size_t plane = (size_t)ny * nz * 13;
+        for (auto& p : id_plane) {
+            if (p.size() == plane)
+                std::fill(p.begin(), p.end(), -1);
+            else
+                p.assign(plane, -1);
+        }
+        cur = id_plane[0].data();
+        nxt = id_plane[1].data();
+        verts.clear();
+        faces.clear();
+    }
+
+    void advance_slab() {          // slab i done -> slice i+1 ids become 'cur'
+        std::swap(cur, nxt);
+        std::fill_n(nxt, (size_t)ny * nz * 13, -1);
+    }
 
     inline float at(int64_t i, int64_t j, int64_t k) const {
         return grid[(i * ny + j) * nz + k];
-    }
-    inline int64_t lin(int64_t i, int64_t j, int64_t k) const {
-        return (i * ny + j) * nz + k;
     }
 
     // Interpolated vertex on the edge between grid points a and b (deduped).
     int64_t edge_point(int64_t ai, int64_t aj, int64_t ak,
                        int64_t bi, int64_t bj, int64_t bk) {
-        int64_t la = lin(ai, aj, ak), lb = lin(bi, bj, bk);
-        if (la > lb) { std::swap(la, lb); std::swap(ai, bi); std::swap(aj, bj); std::swap(ak, bk); }
-        uint64_t key = (uint64_t)la * (uint64_t)(nx * ny * nz) + (uint64_t)lb;
-        auto it = edge_vertex.find(key);
-        if (it != edge_vertex.end()) return it->second;
+        // canonical (lexicographically positive) direction => origin a
+        if (ai > bi || (ai == bi && (aj > bj || (aj == bj && ak > bk)))) {
+            std::swap(ai, bi); std::swap(aj, bj); std::swap(ak, bk);
+        }
+        int d = dir_map[(int)((bi - ai + 1) * 9 + (bj - aj + 1) * 3
+                              + (bk - ak + 1))];
+        int32_t* plane = (ai == i_base) ? cur : nxt;
+        size_t slot = ((size_t)aj * nz + (size_t)ak) * 13 + (size_t)d;
+        int32_t cached = plane[slot];
+        if (cached >= 0) return cached;
         float va = at(ai, aj, ak), vb = at(bi, bj, bk);
         float denom = vb - va;
         float t = (denom == 0.0f) ? 0.5f : (iso - va) / denom;
@@ -49,7 +91,7 @@ struct Mesher {
         verts.push_back((float)ai + t * (float)(bi - ai));
         verts.push_back((float)aj + t * (float)(bj - aj));
         verts.push_back((float)ak + t * (float)(bk - ak));
-        edge_vertex.emplace(key, id);
+        plane[slot] = (int32_t)id;
         return id;
     }
 
@@ -90,6 +132,7 @@ struct Mesher {
     }
 
     void run() {
+        init_ids();
         // 6-tet decomposition of each cube around the main diagonal c0-c6.
         static const int tets[6][4] = {
             {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
@@ -98,7 +141,8 @@ struct Mesher {
         static const int corner[8][3] = {
             {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
             {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
-        for (int64_t i = 0; i + 1 < nx; ++i)
+        for (int64_t i = 0; i + 1 < nx; ++i, advance_slab()) {
+            i_base = i;
             for (int64_t j = 0; j + 1 < ny; ++j)
                 for (int64_t k = 0; k + 1 < nz; ++k) {
                     // skip uniform cubes fast
@@ -120,6 +164,7 @@ struct Mesher {
                         tet(p);
                     }
                 }
+        }
     }
 };
 
@@ -130,9 +175,8 @@ extern "C" {
 int marching_tets(const float* grid, int64_t nx, int64_t ny, int64_t nz,
                   float iso, float** verts_out, int64_t** faces_out,
                   int64_t* n_verts, int64_t* n_faces) {
-    Mesher m;
+    static thread_local Mesher m;  // buffers persist across calls
     m.grid = grid; m.nx = nx; m.ny = ny; m.nz = nz; m.iso = iso;
-    m.edge_vertex.reserve(1 << 16);
     m.run();
     *n_verts = (int64_t)(m.verts.size() / 3);
     *n_faces = (int64_t)(m.faces.size() / 3);

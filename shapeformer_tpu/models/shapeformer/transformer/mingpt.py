@@ -68,22 +68,28 @@ class CausalSelfAttention(nn.Module):
         y = self._attend(q, k, v, mask, deterministic)
         return self.resid_drop(self.proj(y), deterministic=deterministic), (k, v)
 
-    def decode(self, x_new, cache_k, cache_v, index, key_valid):
-        """Single-position decode.
+    def decode(self, x_new, cache_k, cache_v, li, index, key_valid):
+        """Single-position decode against the full-stage cache.
 
-        x_new: (B, 1, C); cache_k/v: (B, T_max, H, D); index: scalar write
-        position; key_valid: (B, T_max) bool of attendable positions
+        x_new: (B, 1, C); cache_k/v: (n_layers, B, T_max, H, D) whole-stage
+        caches (updated in place at (li, :, index) — a single
+        dynamic_update_slice per array, which XLA aliases inside the sampling
+        while_loop instead of re-materializing the cache like the previous
+        per-layer unstack/stack did); li: static layer index; index: scalar
+        write position; key_valid: (B, T_max) bool of attendable positions
         (already includes causality: only positions <= index are valid).
         Returns (y (B,1,C), cache_k, cache_v).
         """
         qkv = self.qkv(x_new)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.n_head) for t in (q, k, v))
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), index, axis=1)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), index, axis=1)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k[None].astype(cache_k.dtype), (li, 0, index, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v[None].astype(cache_v.dtype), (li, 0, index, 0, 0))
         mask = key_valid[:, None, None, :]
-        y = self._attend(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
-                         mask, deterministic=True)
+        y = self._attend(q, cache_k[li].astype(q.dtype),
+                         cache_v[li].astype(q.dtype), mask, deterministic=True)
         return self.proj(y), cache_k, cache_v
 
 
@@ -113,9 +119,9 @@ class Block(nn.Module):
         x = x + a
         return x + self._mlp(self.ln2(x), deterministic), kv
 
-    def decode(self, x_new, cache_k, cache_v, index, key_valid):
+    def decode(self, x_new, cache_k, cache_v, li, index, key_valid):
         a, ck, cv = self.attn.decode(self.ln1(x_new), cache_k, cache_v,
-                                     index, key_valid)
+                                     li, index, key_valid)
         x = x_new + a
         return x + self._mlp(self.ln2(x), True), ck, cv
 
@@ -279,22 +285,28 @@ class CondTupleGPT(nn.Module):
                 x = x + self.tok_embs[i](nxt)
         return caches, h_last, logits0_last
 
-    def decode_stage1(self, caches, h0, pos_token, index, key_valid):
-        """Second tuple stage for one position.
+    def decode_stage_i(self, caches, h_prev, prev_elem, stage_i: int, index,
+                       key_valid):
+        """Tuple stage `stage_i` >= 1 for one position.
 
-        h0: (B, C) stage-0 hidden at `index`; pos_token: (B,) the freshly
-        sampled element-0 token (the .send() of the reference generator).
-        Returns (logits1 (B, V1), caches).
+        h_prev: (B, C) hidden after stage stage_i-1 at `index`; prev_elem:
+        (B,) the freshly sampled element stage_i-1 token (the .send() of the
+        reference generator protocol, mingpt.py:297-310, generalized to any
+        tuple_n).  Returns (logits_i (B, V_i), h_i (B, C), caches).
         """
-        x = (h0 + self.tok_embs[0](pos_token))[:, None, :]
-        ck, cv = caches[1]
-        new_k, new_v = [], []
-        for li, blk in enumerate(self.stages[1]):
-            x, k_i, v_i = blk.decode(x, ck[li], cv[li], index, key_valid)
-            new_k.append(k_i)
-            new_v.append(v_i)
-        caches = [caches[0], (jnp.stack(new_k), jnp.stack(new_v))]
-        return self.heads[1](x)[:, 0, :], caches
+        x = (h_prev + self.tok_embs[stage_i - 1](prev_elem))[:, None, :]
+        ck, cv = caches[stage_i]
+        for li, blk in enumerate(self.stages[stage_i]):
+            x, ck, cv = blk.decode(x, ck, cv, li, index, key_valid)
+        caches = list(caches)
+        caches[stage_i] = (ck, cv)
+        return self.heads[stage_i](x)[:, 0, :], x[:, 0, :], caches
+
+    def decode_stage1(self, caches, h0, pos_token, index, key_valid):
+        """2-tuple convenience wrapper around decode_stage_i."""
+        logits, _, caches = self.decode_stage_i(caches, h0, pos_token, 1,
+                                                index, key_valid)
+        return logits, caches
 
     def decode_stage0(self, caches, new_token, new_extra, index, gen_pos,
                       key_valid):
@@ -311,12 +323,9 @@ class CondTupleGPT(nn.Module):
             pos = pos * 0.0
         x = (tok + extra)[:, None, :] + pos[None].astype(self.dtype)
         ck, cv = caches[0]
-        new_k, new_v = [], []
         for li, blk in enumerate(self.stages[0]):
-            x, k_i, v_i = blk.decode(x, ck[li], cv[li], index, key_valid)
-            new_k.append(k_i)
-            new_v.append(v_i)
-        caches = [(jnp.stack(new_k), jnp.stack(new_v)), caches[1]]
+            x, ck, cv = blk.decode(x, ck, cv, li, index, key_valid)
+        caches = [(ck, cv)] + list(caches[1:])
         return caches, x[:, 0, :], self.heads[0](x)[:, 0, :]
 
 

@@ -16,6 +16,18 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e30)  # finite stand-in for -inf (safe under softmax)
 
 
+def _nucleus_min(sorted_desc, top_p):
+    """Smallest kept logit of a descending-sorted row under nucleus top_p."""
+    cum = jnp.cumsum(jax.nn.softmax(sorted_desc, axis=-1), axis=-1)
+    # shift right: always keep the first token above the threshold
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(cum[..., :1], bool), (cum > top_p)[..., :-1]], axis=-1)
+    # token is removed iff its logit is strictly below the smallest kept
+    # sorted logit; ties share fate with the kept copy (same prob mass)
+    return jnp.min(jnp.where(remove_sorted, jnp.inf, sorted_desc),
+                   axis=-1, keepdims=True)
+
+
 def filter_logits(logits, top_k: int = 0, top_p: float = 0.0,
                   temperature: float = 1.0):
     """(B, V) logits -> filtered (B, V) logits (masked entries = NEG_INF)."""
@@ -23,19 +35,18 @@ def filter_logits(logits, top_k: int = 0, top_p: float = 0.0,
     V = logits.shape[-1]
     if top_k and top_k > 0:
         k = min(int(top_k), V)
-        kth = jax.lax.top_k(logits, k)[0][..., -1:]
-        logits = jnp.where(logits < kth, NEG_INF, logits)
-    if top_p and top_p > 0.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
-        # shift right: always keep the first token above the threshold
-        remove_sorted = jnp.concatenate(
-            [jnp.zeros_like(cum[..., :1], bool), (cum > top_p)[..., :-1]], axis=-1)
-        # token is removed iff its logit is strictly below the smallest kept
-        # sorted logit; ties share fate with the kept copy (same prob mass)
-        kept_min = jnp.min(
-            jnp.where(remove_sorted, jnp.inf, sorted_logits), axis=-1, keepdims=True)
-        logits = jnp.where(logits < kept_min, NEG_INF, logits)
+        # one top_k serves both filters: the k-th value is the top-k cutoff,
+        # and (because everything below it is already NEG_INF) the nucleus
+        # scan only needs these k descending values — no full-vocab sort.
+        topv = jax.lax.top_k(logits, k)[0]
+        logits = jnp.where(logits < topv[..., -1:], NEG_INF, logits)
+        if top_p and top_p > 0.0:
+            logits = jnp.where(logits < _nucleus_min(topv, top_p),
+                               NEG_INF, logits)
+    elif top_p and top_p > 0.0:
+        sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+        logits = jnp.where(logits < _nucleus_min(sorted_desc, top_p),
+                           NEG_INF, logits)
     return logits
 
 

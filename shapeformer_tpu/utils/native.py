@@ -26,8 +26,8 @@ def _build(name: str, sources) -> str:
     srcs = [os.path.join(_NATIVE_DIR, s) for s in sources]
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", out, *srcs]
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", "-o", out, *srcs]
         subprocess.run(cmd, check=True, capture_output=True)
     return out
 
