@@ -4,9 +4,10 @@ pooling onto a voxel grid, then strided downsampling.
 Semantics parity with shapeformer/models/vqdif/enc.py:11-140:
   fc_pos -> blocks[0] -> (pool_local + concat + block)* -> fc_c
   -> scatter_mean to dense (64^3) grid -> Downsampler -> occupancy mask.
-The torch_scatter hot loop (enc.py:5,95-112) becomes
-shapeformer_tpu.ops.scatter segment ops (Pallas-fusable); grids are
-channels-last (B, X, Y, Z, C).
+The torch_scatter hot loop (enc.py:5,95-112) becomes a single cell-id sort +
+fused segmented-scan pool/gather per block (ops/scatter.pooled_gather, with a
+Pallas TPU scan core in ops/pallas_scatter); grids are channels-last
+(B, X, Y, Z, C).
 
 Note the reference computes the downsampled occupancy mask from
 floor(p_nor * out_reso) per axis (enc.py:85-91) — identical to re-binning the
@@ -49,16 +50,16 @@ class LocalPoolPointnet(nn.Module):
         assert self.plane_type == "grid", "only 3D grid features are supported"
         reso = self.grid_resolution
         n_cells = reso ** 3
-        pool = scatter.scatter_max if self.scatter_type == "max" else scatter.scatter_mean
 
         p_nor = normalize_3d_coordinate(p, padding=self.padding)
         ids = coordinate2index(p_nor, reso)                     # (B, N)
+        plan = scatter.pool_plan(ids)                           # one sort/encode
 
         net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="fc_pos")(p)
         net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name="block0")(net)
         for i in range(1, self.n_blocks):
-            pooled_grid = pool(net, ids, n_cells)               # (B, cells, h)
-            pooled = scatter.gather_cells(pooled_grid, ids)     # (B, N, h)
+            pooled = scatter.pooled_gather(net, plan,
+                                           mode=self.scatter_type)  # (B, N, h)
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype,
                                 name=f"block{i}")(net)

@@ -2,15 +2,26 @@
 
 TPU-native replacement for torch_scatter.scatter_max / scatter_mean
 (reference call sites: shapeformer/models/vqdif/enc.py:5,59-64,72,95-112).
-Implemented with jax.ops.segment_* over per-batch-offset flat cell ids; a
-fused Pallas kernel for the scatter+gather pattern lives in
-shapeformer_tpu.ops.pallas_scatter and is used when enabled.
+
+Two implementations:
+  - scatter_max/scatter_mean: jax.ops.segment_* over per-batch-offset flat
+    cell ids (materializes the dense grid; used for the final grid build).
+  - pool_plan + pooled_gather: the fused pool+gather-back the encoder's inner
+    resnet loop actually needs (pool per cell, read back at every point).
+    TPU scatters with duplicate indices serialize badly, so this sorts the
+    points by cell id ONCE per encode (XLA sort is fast) and runs segmented
+    max/sum scans over the sorted order — no dense grid, no scatter.  The
+    scan core has a Pallas TPU kernel in shapeformer_tpu.ops.pallas_scatter
+    (enabled via use_pallas/SFTPU_PALLAS_SCATTER); the default is the XLA
+    associative_scan path below.
 
 Empty-cell convention matches torch_scatter's zero-fill: cells containing no
-point pool to 0 (relevant only for the final scatter_mean grid; max-pooled
-values are gathered back exclusively at occupied cells).
+point pool to 0 (relevant only for the dense scatter_mean grid; pooled_gather
+reads back exclusively at occupied cells).
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +58,78 @@ def scatter_mean(c, ids, n_cells: int):
 def gather_cells(grid, ids):
     """(B, n_cells, C), (B, N) -> (B, N, C): read each point's cell feature."""
     return jnp.take_along_axis(grid, ids[..., None], axis=1)
+
+
+# --------------------------------------------------------- fused pool+gather
+def pool_plan(ids):
+    """Sort each batch row's cell ids once; reused by every pooled_gather.
+
+    ids: (B, N) int cell ids.  Returns dict with the permutation, its inverse,
+    and the segment-start/end flags of the sorted order.
+    """
+    B, N = ids.shape
+    perm = jnp.argsort(ids, axis=1)
+    sorted_ids = jnp.take_along_axis(ids, perm, axis=1)
+    seg_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]],
+        axis=1)
+    inv_perm = jnp.argsort(perm, axis=1)
+    return dict(perm=perm, inv_perm=inv_perm, seg_start=seg_start)
+
+
+def _seg_scan(vals, seg_start, mode: str, reverse: bool = False):
+    """Inclusive segmented scan along axis 1.
+
+    vals: (B, N, C); seg_start: (B, N) bool segment boundaries (in scan
+    direction).  mode: 'max' | 'sum'.
+    """
+    op = jnp.maximum if mode == "max" else jnp.add
+    flags = seg_start[..., None]
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, op(av, bv))
+
+    _, out = jax.lax.associative_scan(combine, (flags, vals), axis=1,
+                                      reverse=reverse)
+    return out
+
+
+def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
+    """Fused {scatter_max|scatter_mean} + gather_cells.
+
+    c: (B, N, C) per-point features; plan: pool_plan(ids).  Returns (B, N, C)
+    where out[b, i] = pool over all points j of batch b with
+    ids[b, j] == ids[b, i] — exactly gather_cells(scatter_*(c, ids), ids),
+    without materializing the (B, n_cells, C) dense grid.
+    """
+    if use_pallas is None:
+        use_pallas = os.environ.get("SFTPU_PALLAS_SCATTER", "0") == "1"
+    cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
+    seg_start = plan["seg_start"]
+    # end flags for the reverse scan: end[i] = start[i+1] (last row is an end)
+    seg_end = jnp.concatenate(
+        [seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])], axis=1)
+    scan_mode = "max" if mode == "max" else "sum"
+    if use_pallas:
+        from . import pallas_scatter
+        fwd = pallas_scatter.segmented_scan(cs, seg_start, scan_mode)
+        bwd = pallas_scatter.segmented_scan(cs, seg_end, scan_mode,
+                                            reverse=True)
+    else:
+        fwd = _seg_scan(cs, seg_start, scan_mode)
+        bwd = _seg_scan(cs, seg_end, scan_mode, reverse=True)
+    if mode == "max":
+        total = jnp.maximum(fwd, bwd)
+    else:
+        total = fwd + bwd - cs
+    if mode == "mean":
+        ones = jnp.ones(cs.shape[:2] + (1,), cs.dtype)
+        cf = _seg_scan(ones, seg_start, "sum")
+        cb = _seg_scan(ones, seg_end, "sum", reverse=True)
+        total = total / (cf + cb - 1.0)
+    return jnp.take_along_axis(total, plan["inv_perm"][..., None], axis=1)
 
 
 def occupancy_mask(ids, n_cells: int):

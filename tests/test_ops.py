@@ -123,6 +123,53 @@ def test_gather_cells():
     assert (out[0, 1] == np.arange(20, 24)).all()
 
 
+def test_pooled_gather_matches_scatter_then_gather(rng):
+    """Sort+segmented-scan fusion == dense scatter_* followed by gather_cells."""
+    B, N, C, n_cells = 3, 100, 7, 17
+    c = rng.normal(size=(B, N, C)).astype(np.float32)
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = scatter.pool_plan(ids)
+    for mode, pool in (("max", scatter.scatter_max),
+                       ("mean", scatter.scatter_mean)):
+        want = scatter.gather_cells(pool(jnp.asarray(c), ids, n_cells), ids)
+        got = scatter.pooled_gather(jnp.asarray(c), plan, mode=mode,
+                                    use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_segmented_scan_matches_xla(rng):
+    """Pallas scan kernel (interpret off-TPU) == XLA associative_scan core,
+    across tile boundaries (N*B spans multiple 256-row tiles)."""
+    from shapeformer_tpu.ops import pallas_scatter
+    B, N, C = 2, 300, 5
+    vals = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    ids = jnp.asarray(np.sort(rng.integers(0, 40, (B, N)), axis=1))
+    seg_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
+    seg_end = jnp.concatenate(
+        [seg_start[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    for mode in ("max", "sum"):
+        for rev, flags in ((False, seg_start), (True, seg_end)):
+            want = scatter._seg_scan(vals, flags, mode, reverse=rev)
+            got = pallas_scatter.segmented_scan(vals, flags, mode, reverse=rev)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_pooled_gather_pallas_path(rng):
+    """pooled_gather(use_pallas=True) == XLA path end to end."""
+    B, N, C, n_cells = 2, 130, 6, 11
+    c = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = scatter.pool_plan(ids)
+    for mode in ("max", "mean"):
+        want = scatter.pooled_gather(c, plan, mode=mode, use_pallas=False)
+        got = scatter.pooled_gather(c, plan, mode=mode, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 # ------------------------------------------------------------------- grid_sample
 def test_trilinear_linear_field_exact(rng):
     """Trilinear interp reproduces any per-axis-linear field exactly."""
