@@ -147,6 +147,18 @@ def shard_train_step(system, mesh: Mesh, state, sample_batch,
     return step, sharded_state
 
 
+def shard_eval_step(system, mesh: Mesh, state, sample_batch,
+                    has_rng: bool = True, extra_args=()):
+    """jit the system's eval step with the same shardings as training."""
+    s_spec = state_spec(state, mesh)
+    b_spec = batch_spec(sample_batch, mesh)
+    extra_spec = tuple(replicated(a, mesh) for a in extra_args)
+    rng_spec = (NamedSharding(mesh, P()),) if has_rng else ()
+    return jax.jit(system._eval_step_impl,
+                   in_shardings=(s_spec, b_spec) + rng_spec + extra_spec,
+                   out_shardings=None)
+
+
 def shard_sample_fn(sample_fn, mesh: Mesh, params, c_indices):
     """jit a (params, c_indices, rng) -> tokens sampler with candidates
     sharded over 'data' and params sharded over 'model'."""

@@ -47,6 +47,7 @@ class VQDIFSystem:
         optim_opt = self.model.optim_opt or {"lr": 1e-4, "scheduler": "None"}
         self.tx = optax.adam(step_lr_schedule(float(optim_opt["lr"]),
                                               optim_opt, steps_per_epoch))
+        self.mesh = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -94,11 +95,24 @@ class VQDIFSystem:
         _, (losses, _) = self._loss(state["params"], state["vq"], batch, False)
         return losses
 
+    def attach_mesh(self, mesh, state, sample_batch):
+        """Re-jit both steps with explicit ('data','model') mesh shardings
+        (parallel/sharding.py); returns the mesh-placed state.  Replaces the
+        reference's PL dp/ddp accelerator selection (trainer.py:49-56)."""
+        from .parallel import sharding as shd
+        batch = _mesh_batch(sample_batch, mesh)
+        self._train_step, state = shd.shard_train_step(
+            self, mesh, state, batch, has_rng=False)
+        self._eval_step = shd.shard_eval_step(self, mesh, state, batch,
+                                              has_rng=False)
+        self.mesh = mesh
+        return state
+
     def train_step(self, state, batch, rng=None):
-        return self._train_step(state, _device_batch(batch))
+        return self._train_step(state, _device_batch(batch, self.mesh))
 
     def eval_step(self, state, batch, rng=None):
-        return self._eval_step(state, _device_batch(batch))
+        return self._eval_step(state, _device_batch(batch, self.mesh))
 
 
 class ShapeFormerSystem:
@@ -115,6 +129,7 @@ class ShapeFormerSystem:
         # kernels; biases, LayerNorm scales, embeddings, pos embs are exempt.
         self.tx = optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01,
                               mask=self._decay_mask)
+        self.mesh = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
@@ -156,19 +171,53 @@ class ShapeFormerSystem:
                                vqdif_vars=vqdif_vars)
         return dict(loss=loss)
 
+    def attach_mesh(self, mesh, state, sample_batch):
+        """Mesh-sharded steps (dp batch + tp params); see VQDIFSystem."""
+        from .parallel import sharding as shd
+        batch = _mesh_batch(sample_batch, mesh)
+        self._train_step, state = shd.shard_train_step(
+            self, mesh, state, batch, has_rng=True,
+            extra_args=(self.vqdif_vars,))
+        self._eval_step = shd.shard_eval_step(
+            self, mesh, state, batch, has_rng=True,
+            extra_args=(self.vqdif_vars,))
+        self.mesh = mesh
+        return state
+
     def train_step(self, state, batch, rng):
-        return self._train_step(state, _device_batch(batch), rng,
+        return self._train_step(state, _device_batch(batch, self.mesh), rng,
                                 self.vqdif_vars)
 
     def eval_step(self, state, batch, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return self._eval_step(state, _device_batch(batch), rng,
+        return self._eval_step(state, _device_batch(batch, self.mesh), rng,
                                self.vqdif_vars)
 
 
-def _device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()
+def _filter_batch(batch):
+    return {k: v for k, v in batch.items()
             if isinstance(v, (np.ndarray, jnp.ndarray))}
+
+
+def _mesh_batch(batch, mesh):
+    """Pad every array's batch dim to a multiple of the mesh 'data' axis
+    (repeating trailing rows), keeping shapes static for pjit."""
+    dp = mesh.shape["data"]
+    out = {}
+    for k, v in _filter_batch(batch).items():
+        v = np.asarray(v)
+        if v.ndim >= 1 and v.shape[0] % dp != 0:
+            pad = dp - v.shape[0] % dp
+            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+        out[k] = v
+    return out
+
+
+def _device_batch(batch, mesh=None):
+    if mesh is not None:
+        # numpy in: pjit places each array per its NamedSharding directly
+        return _mesh_batch(batch, mesh)
+    return {k: jnp.asarray(v) for k, v in _filter_batch(batch).items()}
 
 
 def build_system(pl_model_opt: dict, steps_per_epoch: int = 1000):

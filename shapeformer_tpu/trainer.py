@@ -7,16 +7,18 @@ Replaces pytorch_lightning with a compact jit-first loop:
   - modes: train (fit + test on best ckpt), test (reload + losses + full
     visualization pass), run (load ckpt, run callbacks' post_training_process);
   - default callbacks: ModelCheckpoint on val/loss (top-k), EarlyStopping
-    (patience 3, min_delta 1e-5), learning-rate monitoring — all inlined in
-    the epoch loop (trainer.py:129-172);
+    (pltrainer_opt early_stop_patience / early_stop_min_delta, reference
+    trainer.py:161-168), learning-rate monitoring — inlined in the epoch loop;
   - resume policies ''/restart/latest/last/<path> + copy_ckpt_from warm start
     (trainer.py:245-287);
   - config.yaml dump + source-tree archive into the experiment dir
     (trainer.py:189-203);
-  - metrics stream to stdout + experiments/<name>/logs/metrics.jsonl (wandb
-    is optional observability in the reference and normally 'disabled').
-`--gpus` selects how many local devices participate (data-parallel via
-shapeformer_tpu.parallel); on a single-chip host it is accepted and ignored.
+  - metrics stream to stdout + experiments/<name>/logs/metrics.jsonl, plus an
+    optional tensorboard logger (pltrainer_opt logger: tensorboard).
+`--gpus` with more than one device id builds a ('data','model') jax mesh and
+runs training through parallel.sharding pjit steps (the reference's PL
+dp/ddp, trainer.py:49-56); multiple --opts farm out over the device pool via
+utils.qdaq (reference trainer.py:360-363).
 """
 from __future__ import annotations
 
@@ -54,6 +56,11 @@ class Trainer:
             seed=314,
             save_top_k=1,
             max_epochs=100,
+            early_stop_patience=3,
+            early_stop_min_delta=1e-5,
+            tensor_parallel=1,
+            profiler="",            # 'jax' -> jax.profiler trace per epoch
+            debug_nans=False,       # reference terminate_on_nan (trainer.py:86)
         )
 
     def __init__(self, opt, root_dir=DEFAULT_ROOT, mode="test", gpus=None):
@@ -67,11 +74,16 @@ class Trainer:
         if gpus:
             self.trainer_opt["gpus"] = gpus
         self.num_devices = max(len(self.trainer_opt["gpus"]), 1)
+        self.mesh = self._make_mesh()
         self.minfo = self.opt.meta_info
         self.mode = mode
         self.seed = int(self.trainer_opt.get("seed", 314))
         self.rng = jax.random.PRNGKey(self.seed)
         np.random.seed(self.seed)
+        if self.trainer_opt.get("debug_nans"):
+            # reference terminate_on_nan=True (trainer.py:86)
+            jax.config.update("jax_debug_nans", True)
+        self._tb_writer = None
 
         self.load_model()
         self.load_callbacks()
@@ -95,6 +107,24 @@ class Trainer:
                     f"{self.minfo['checkpoints_dir']} (resume_from="
                     f"{self.trainer_opt['resume_from']!r})")
         self.state = None
+
+    def _make_mesh(self):
+        """--gpus with >1 device id builds a ('data','model') mesh; training
+        then runs through parallel.sharding pjit steps (replaces the
+        reference's PL accelerator='dp'|'ddp' pick, trainer.py:49-56)."""
+        if self.num_devices <= 1:
+            return None
+        avail = len(jax.devices())
+        if avail < self.num_devices:
+            print(f"[trainer] requested {self.num_devices} devices but only "
+                  f"{avail} available; running single-device.")
+            self.num_devices = 1
+            return None
+        from .parallel import make_mesh
+        tp = int(self.trainer_opt.get("tensor_parallel", 1) or 1)
+        mesh = make_mesh(self.num_devices, tp=tp)
+        print(f"[trainer] mesh: {dict(mesh.shape)}")
+        return mesh
 
     # ------------------------------------------------------------- assembly
     def load_model(self):
@@ -120,6 +150,14 @@ class Trainer:
             self.callbacks.append(cb_cls(**cb_kwargs))
 
     # ------------------------------------------------------------- logging
+    def _tensorboard(self):
+        if self._tb_writer is None:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb_writer = SummaryWriter(
+                log_dir=os.path.join(self.minfo["logs_dir"], "tb"),
+                **(self.trainer_opt.get("logger_kwargs") or {}))
+        return self._tb_writer
+
     def log_metrics(self, metrics, epoch, stage):
         record = {"epoch": epoch, "stage": stage,
                   **{k: float(v) for k, v in metrics.items()}}
@@ -130,6 +168,12 @@ class Trainer:
         with open(os.path.join(self.minfo["logs_dir"], "metrics.jsonl"),
                   "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.trainer_opt.get("logger") == "tensorboard":
+            # reference logger option (trainer.py:174-187); wandb stays gated
+            tb = self._tensorboard()
+            for k, v in metrics.items():
+                tb.add_scalar(f"{stage}/{k}", float(v), max(epoch, 0))
+            tb.flush()
 
     # -------------------------------------------------------------- archive
     def archive_src(self):
@@ -177,15 +221,29 @@ class Trainer:
         train_loader = self.data_module.train_dataloader()
         steps_per_epoch = max(len(train_loader), 1)
         system = self._build_system(steps_per_epoch)
-        self.state = self._init_state(system,
-                                      next(iter(self.data_module
-                                                .train_dataloader())))
+        sample_batch = next(iter(self.data_module.train_dataloader()))
+        self.state = self._init_state(system, sample_batch)
+        if self.mesh is not None:
+            self.state = system.attach_mesh(self.mesh, self.state,
+                                            sample_batch)
         check_every = int(self.trainer_opt["check_val_every_n_epoch"])
         max_epochs = int(self.trainer_opt["max_epochs"])
+        es_patience = int(self.trainer_opt["early_stop_patience"])
+        es_min_delta = float(self.trainer_opt["early_stop_min_delta"])
         best_val, best_path, patience = np.inf, None, 0
         for epoch in range(max_epochs):
             t0 = time.time()
-            train_metrics = self._run_epoch(system, train_loader, train=True)
+            if self.trainer_opt.get("profiler") == "jax" and epoch == 1:
+                # profile the 2nd epoch (past compilation); reference ships
+                # PL profiler="simple" (trainer.py:83)
+                trace_dir = os.path.join(minfo["logs_dir"], "jax_trace")
+                with jax.profiler.trace(trace_dir):
+                    train_metrics = self._run_epoch(system, train_loader,
+                                                    train=True)
+                print(f"[trainer] jax profiler trace written to {trace_dir}")
+            else:
+                train_metrics = self._run_epoch(system, train_loader,
+                                                train=True)
             train_metrics["time_s"] = time.time() - t0
             self.log_metrics(train_metrics, epoch, "train")
             if (epoch + 1) % check_every == 0 or epoch == max_epochs - 1:
@@ -197,11 +255,11 @@ class Trainer:
                     minfo["checkpoints_dir"], self.state, epoch, val_loss,
                     hyper_parameters=system.hyper_parameters,
                     top_k=int(self.trainer_opt["save_top_k"]))
-                if val_loss < best_val - 1e-5:
+                if val_loss < best_val - es_min_delta:
                     best_val, best_path, patience = val_loss, path, 0
                 else:
                     patience += 1
-                    if patience >= 3:  # EarlyStopping (trainer.py:161-168)
+                    if patience >= es_patience:  # EarlyStopping (trainer.py:161-168)
                         print("Early stopping: val/loss plateaued.")
                         break
                 for cb in self.callbacks:
@@ -285,11 +343,29 @@ def main(argv=None):
         elif parsed.mode == "run":
             trainer.run_callbacks()
     else:
-        # sequential multi-experiment queue (the reference farms configs out
-        # to a GPU pool via qdaq, trainer.py:360-363; one host here)
-        for opt in parsed.opts:
-            trainer = Trainer(opt, mode="train", gpus=gpus)
-            trainer.train()
+        # multi-experiment device pool via qdaq (reference trainer.py:360-363);
+        # with one device the pool degenerates to sequential execution
+        from .utils import qdaq
+
+        class ExpJob(qdaq.Job):
+            def __init__(self, opt_path, mode):
+                self.opt_path, self.mode = opt_path, mode
+
+            def __repr__(self):
+                return f"ExpJob({self.opt_path})"
+
+            def run(self, device_id):
+                trainer = Trainer(self.opt_path, mode=self.mode,
+                                  gpus=[device_id])
+                if self.mode == "train":
+                    trainer.train()
+                elif self.mode == "test":
+                    trainer.test()
+                else:
+                    trainer.run_callbacks()
+
+        jobs = [ExpJob(opt, parsed.mode) for opt in parsed.opts]
+        qdaq.start(jobs, gpus)
 
 
 if __name__ == "__main__":

