@@ -140,3 +140,102 @@ def balanced_sampling2(Xbd, Xtg, Ytg, target_N=4096, x_dim=3, grid_dim=32,
     rdc_uni = rng.integers(0, Xtg.shape[0], target_N - target_N // 2)
     choice = np.concatenate([rdc_xbd, rdc_uni])
     return Xtg[choice], Ytg[choice]
+
+
+# ------------------------------------------------- offline dataset builders
+def generate_dataitem(shape_path):
+    """One raw HSP-ShapeNet .mat -> (shape_vocab, vocab_idx, Xbd)
+    (imnet_datasets.py:306-319): decompress the blocked 256^3 voxels, convert
+    shapenet-v1 axes to cartesian, recompress bit-packed, mesh at 256 and
+    area-sample 65536 boundary points."""
+    import scipy.io as sio
+
+    from ...utils import geoutil
+
+    loaded = sio.loadmat(shape_path)
+    shape_vocab = loaded["b"].reshape(loaded["b"].shape[0], -1)
+    vocab_idx = (loaded["bi"] - 1).astype(np.int64).reshape(-1)
+    folded = nputil.decompress_voxels(shape_vocab, vocab_idx,
+                                      unpackbits=False)
+    folded = geoutil.shapenetv2_to_cart(
+        geoutil.shapenetv1_to_shapenetv2(folded))
+    shape_vocab, vocab_idx = nputil.compress_voxels(folded, packbits=True)
+    vert, face = geoutil.array2mesh(
+        folded.reshape(-1).astype(np.float32), thresh=0.5,
+        bbox=np.array([[-1, -1, -1], [1, 1, 1.]]))
+    Xbd = geoutil.sampleMesh(vert, face, 65536)
+    return shape_vocab, vocab_idx, Xbd
+
+
+def _write_imnet_split(shape_names, shape_paths, target_path, type_dict,
+                       progress=True):
+    from ...utils.h5store import to_object_array, writeh5
+    from ...utils.sysutil import progbar
+
+    cates = [[] for _ in type_dict]
+    for si, shape_name in enumerate(shape_names):
+        cates[type_dict[shape_name.split("/")[0]]].append(si)
+    vocabs, idxs, Xbds = [], [], []
+    it = progbar(shape_paths) if progress else shape_paths
+    for p in it:  # single-core host: serial map (ref uses parallelMap)
+        v, i, x = generate_dataitem(p)
+        vocabs.append(v)
+        idxs.append(i)
+        Xbds.append(x)
+    data = {"shape_vocab": to_object_array(vocabs),
+            "vocab_idx": to_object_array(idxs),
+            "Xbd": np.array(Xbds, np.float32)}
+    for ci, members in enumerate(cates):
+        data[f"cate_{ci}"] = np.array(members, np.int64)
+    writeh5(target_path, data)
+
+
+def make_imnet_dataset(imnet_datapath="datasets/IM-NET",
+                       hspnet_datapath="datasets/hsp_shapenet",
+                       target_dir="datasets/IMNet2_packed"):
+    """Build IMNet2_packed/{train,test}.hdf5 from the raw IM-NET split lists
+    and HSP blocked voxels (imnet_datasets.py:321-369)."""
+    imnet_path = os.path.join(imnet_datapath, "IMSVR/data")
+    hspnet_path = os.path.join(hspnet_datapath, "modelBlockedVoxels256")
+    os.makedirs(target_dir, exist_ok=True)
+    splits = {}
+    for split in ("train", "test"):
+        with open(os.path.join(imnet_path,
+                               f"all_vox256_img_{split}.txt")) as f:
+            splits[split] = [line.strip() for line in f if line.strip()]
+    unique_types = np.unique(
+        [name.split("/")[0] for name in splits["train"]])
+    type_dict = {typ: i for i, typ in enumerate(unique_types)}
+    for split, names in splits.items():
+        paths = [os.path.join(hspnet_path, name + ".mat") for name in names]
+        _write_imnet_split(names, paths,
+                           os.path.join(target_dir, f"{split}.hdf5"),
+                           type_dict)
+
+
+def make_imnet64_dataset(packed_dir="datasets/IMNet2_packed",
+                         target_dir="datasets/IMNet2_64", grid_dim=64):
+    """Derive the 64^3 training set (bit-packed Ytg consumed by
+    Imnet2LowResDataset) from IMNet2_packed by max-pool downsampling the
+    256^3 occupancy — the layout the reference ships as IMNet2_64
+    (imnet_datasets.py:151-180) but whose builder is absent upstream."""
+    from ...utils.h5store import readh5, writeh5
+    from ...utils.sysutil import progbar
+
+    os.makedirs(target_dir, exist_ok=True)
+    for split in ("train", "test"):
+        src = readh5(os.path.join(packed_dir, f"{split}.hdf5"))
+        n = len(src["vocab_idx"])
+        factor = None
+        Ytgs = []
+        for i in progbar(range(n)):
+            vox = nputil.decompress_voxels(src["shape_vocab"][i],
+                                           src["vocab_idx"][i])
+            if factor is None:
+                factor = vox.shape[0] // grid_dim
+            pooled = vox.reshape(grid_dim, factor, grid_dim, factor,
+                                 grid_dim, factor).max(axis=(1, 3, 5))
+            Ytgs.append(np.packbits(pooled.astype(bool).reshape(-1)))
+        data = {"Ytg": np.array(Ytgs), "Xbd": src["Xbd"]}
+        data.update({k: v for k, v in src.items() if k.startswith("cate_")})
+        writeh5(os.path.join(target_dir, f"{split}.hdf5"), data)

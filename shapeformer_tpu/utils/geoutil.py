@@ -209,6 +209,17 @@ def write_obj(path, verts, faces):
 
 
 # -------------------------------------------------------------- virtual scan
+def fibonacci_sphere(samples: int = 64):
+    """Near-uniform unit-sphere point set via the golden-angle spiral
+    (reference xgutils/geoutil.py fibonacci_sphere, used by AMScan views)."""
+    i = np.arange(samples, dtype=np.float64)
+    phi = np.pi * (3.0 - np.sqrt(5.0))          # golden angle
+    y = 1.0 - 2.0 * (i + 0.5) / samples
+    r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+    theta = phi * i
+    return np.stack([np.cos(theta) * r, y, np.sin(theta) * r], axis=1)
+
+
 def sample_sphere(point_N: int, dim: int = 3, rng=None):
     rng = rng or np.random.default_rng()
     vec = rng.normal(size=(point_N, dim))

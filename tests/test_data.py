@@ -142,3 +142,103 @@ def test_datamodule_fallbacks(in_root):
     batch = next(iter(dm.train_dataloader()))
     assert batch["Xbd"].shape == (2, 128, 3)
     assert len(dm.test_dataloader()) == 2
+
+
+# ---------------------------------------------------------------- real-scan
+def test_realscan_datasets(in_root, rng):
+    """HPRScan/Redwood/RealTest/Richcar instantiate from their reference
+    dotted paths and yield deterministic batch dicts."""
+    from shapeformer_tpu import config as cfg
+
+    # .pts scan fixture
+    scans = in_root / "datasets" / "redwood"
+    os.makedirs(scans, exist_ok=True)
+    for name in ("06145", "01833"):
+        pts = rng.normal(size=(4096, 3)) * [1.0, 0.6, 0.4]
+        np.savetxt(scans / f"{name}.pts", np.hstack([pts, pts]))  # xyz+normals
+
+    hpr = cfg.instantiate_from_opt({
+        "class": "shapeformer.data.imnet_datasets.hprscan_dataset"
+                 ".HPRScan_dataset",
+        "kwargs": dict(dataset="SynthIM_64", split="test", grid_dim=32,
+                       samples_per_cate=2, context_N=512, boundary_N=1024,
+                       target_N=256, cate_list=(0, 1))})
+    assert len(hpr) == 4  # 2 cates x 2
+    a0, a1 = hpr[0], hpr[0]
+    np.testing.assert_allclose(a0["Xct"], a1["Xct"])  # eval determinism
+    assert a0["Xct"].shape == (512, 3) and a0["Xbd"].shape == (1024, 3)
+
+    for path, cls_kwargs in [
+        ("shapeformer.data.imnet_datasets.redwood.Redwood", {}),
+        ("shapeformer.data.imnet_datasets.redwood.Redwood2", {}),
+        ("shapeformer.data.imnet_datasets.realtest.RealTest_dataset", {}),
+        ("shapeformer.data.imnet_datasets.realtest.RealTest2_dataset", {}),
+    ]:
+        ds = cfg.instantiate_from_opt({
+            "class": path, "kwargs": dict(context_N=256, **cls_kwargs)})
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["Xct"].shape == (256, 3)
+        assert np.abs(item["Xbd"]).max() <= 1.0 + 1e-5
+
+    car = cfg.instantiate_from_opt({
+        "class": "shapeformer.data.imnet_datasets.rd.Richcar_dataset",
+        "kwargs": dict(context_N=256)})
+    assert len(car) == 1
+    assert car[0]["Xct"].shape == (256, 3)
+
+
+def test_make_imnet_dataset_roundtrip(tmp_path, rng):
+    """Offline builder: raw IM-NET tree -> IMNet2_packed -> IMNet2_64, both
+    loadable by their datasets (imnet_datasets.py:306-369)."""
+    import scipy.io as sio
+
+    from shapeformer_tpu.data.imnet_datasets import imnet_datasets as ds_mod
+
+    root = tmp_path
+    imnet = root / "IM-NET" / "IMSVR" / "data"
+    hsp = root / "hsp_shapenet" / "modelBlockedVoxels256"
+    os.makedirs(imnet)
+    names = ["02691156/aaa", "02691156/bbb", "03001627/ccc"]
+    for split, members in (("train", names), ("test", names[:2])):
+        with open(imnet / f"all_vox256_img_{split}.txt", "w") as f:
+            f.write("\n".join(members) + "\n")
+    # blocked 256^3 sphere voxels in the .mat's raw (unpacked) vocab format
+    g = np.linspace(-1, 1, 256, dtype=np.float32)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    for i, name in enumerate(names):
+        vox = ((X ** 2 + Y ** 2 + Z ** 2) < (0.4 + 0.1 * i) ** 2)
+        vocab, idx = nputil.compress_voxels(vox, packbits=False)
+        os.makedirs((hsp / name).parent, exist_ok=True)
+        sio.savemat(hsp / f"{name}.mat",
+                    {"b": vocab.reshape(vocab.shape[0], -1),
+                     "bi": (idx + 1).reshape(16, 16, 16)})
+
+    old = os.getcwd()
+    os.chdir(root)
+    try:
+        ds_mod.make_imnet_dataset(imnet_datapath="IM-NET",
+                                  hspnet_datapath="hsp_shapenet",
+                                  target_dir="datasets/IMNet2_packed")
+        ds_mod.make_imnet64_dataset(packed_dir="datasets/IMNet2_packed",
+                                    target_dir="datasets/IMNet2_64")
+        packed = ds_mod.Imnet2Dataset(
+            dataset="IMNet2_packed", split="test", boundary_N=512,
+            target_N=256,
+            partial_opt={"class": "shapeformer.data.partial.BallSelector",
+                         "kwargs": dict(radius=0.4, context_N=128)})
+        item = packed[0]
+        assert item["Xbd"].shape == (512, 3)
+        assert item["Ytg"].max() == 1.0  # the sphere is occupied
+        low = ds_mod.Imnet2LowResDataset(
+            dataset="IMNet2_64", split="test", boundary_N=512, target_N=256,
+            grid_dim=64,
+            partial_opt={"class": "shapeformer.data.partial.BallSelector",
+                         "kwargs": dict(radius=0.4, context_N=128)})
+        item = low[1]
+        assert item["Xtg"].shape == (256, 3) and item["Ytg"].shape == (256, 1)
+        # boundary points lie near the sphere surface (r ~ 0.5)
+        r = np.linalg.norm(item["Xbd"], axis=1)
+        assert 0.3 < np.median(r) < 0.7
+    finally:
+        os.chdir(old)
