@@ -113,6 +113,22 @@ class Representer:
                         prev_pos=None, cond_pos=None):
         return logits
 
+    def mask_element(self, logits, tuple_i, step_j, prev_token, cur_elems,
+                     cond_pos, prev_sum):
+        """Generic sampler hook: mask element tuple_i's logits given the
+        previous full token (B, tuple_n) and the elements already sampled this
+        step.  Default adapts the 2-tuple sampling_masker signature."""
+        if tuple_i == 0:
+            kw = dict(tuple_i=0, step_j=step_j, prev_pos=prev_token[:, 0],
+                      cond_pos=cond_pos)
+            try:
+                return self.sampling_masker(logits, prev_pos_sum=prev_sum,
+                                            **kw)
+            except TypeError:
+                return self.sampling_masker(logits, **kw)
+        return self.sampling_masker(logits, tuple_i=tuple_i, step_j=step_j,
+                                    new_pos=cur_elems[0])
+
 
 class ShapeRepresenter(Representer):
     """AR (absolute raveled) base representer (representers.py:53-155)."""
@@ -142,6 +158,11 @@ class ShapeRepresenter(Representer):
 
     def set_vqdif(self, model, variables):
         self.vqdif_model, self.vqdif_vars = model, variables
+
+    def cond_token_mask(self, c_indices):
+        """(B, L, tuple_n) CONVERTED condition tokens -> (B, L) validity mask.
+        The default input coding keeps the input end tokens in place."""
+        return sparse_ops.token_mask(c_indices, self.input_end_tokens) > 0
 
     # ------------------------------------------------------------- tokenizing
     def encode_cloud(self, cloud, vqdif_vars=None):
@@ -325,8 +346,15 @@ class RR_AR(RR):
 
 class AU(ShapeRepresenter):
     """Absolute-unraveled (z, y, x, val) 4-tuples (representers.py:278-370).
-    Token conversion is fully supported; the KV-cached sampler currently
-    targets tuple_n == 2 so AU sampling falls back to conversion-only use."""
+
+    end_tokens is the 4-tuple (R, R, R, V); input_end_tokens stays the AR
+    2-tuple (R^3, V) used by the sparse codec before conversion.  The sampling
+    masker (representers.py:301-370) enforces lexicographic (z, y, x) growth:
+    z non-decreasing (must increase when y = x = R-1), y non-decreasing when z
+    stalls (must increase when x = R-1), x strictly increasing when z and y
+    stall; dead rows (z = end) emit end tokens forever; element 0 is the only
+    place a sequence may die.
+    """
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
@@ -346,3 +374,49 @@ class AU(ShapeRepresenter):
         ni = AU_to_AR(indices[..., :-1], self.AR_end_token,
                       self.AU_end_token, reso=self.voxel_res)
         return jnp.concatenate([ni, indices[..., -1:]], axis=-1)
+
+    def cond_token_mask(self, c_indices):
+        # converted coding: (z, y, x, val) with per-element end tokens
+        return sparse_ops.token_mask(c_indices, self.end_tokens) > 0
+
+    def mask_element(self, logits, tuple_i, step_j, prev_token, cur_elems,
+                     cond_pos, prev_sum):
+        ends = self.end_tokens
+        R = self.voxel_res
+        V = logits.shape[-1]
+        positions = jnp.arange(V)[None, :]
+        # dead rows: the PREVIOUS token ended (element 0) or, for later
+        # elements, this step's z came out as the end token
+        if tuple_i == 0:
+            dead = (prev_token[:, 0] == ends[0]) & (step_j > 0)
+        else:
+            dead = cur_elems[0] == ends[0]
+        forced = jnp.where(positions == ends[tuple_i], 1.0, NEG_INF)
+
+        prev_z, prev_y, prev_x = (prev_token[:, 0], prev_token[:, 1],
+                                  prev_token[:, 2])
+        invalid = jnp.zeros_like(logits, bool)
+        if tuple_i == 0:
+            late = positions < prev_z[:, None]
+            corner = (prev_y == R - 1) & (prev_x == R - 1)
+            late = late | (corner[:, None] & (positions == prev_z[:, None]))
+            late = late.at[:, ends[0]].set(False)   # may always end
+            first = positions == ends[0]            # no 0-length sequences
+            invalid = jnp.where(step_j > 0, late, first)
+        elif tuple_i == 1:
+            cur_z = cur_elems[0]
+            late = positions < prev_y[:, None]
+            corner = prev_x == R - 1
+            late = late | (corner[:, None] & (positions == prev_y[:, None]))
+            late = late & (cur_z == prev_z)[:, None]
+            invalid = late & (step_j > 0)
+        elif tuple_i == 2:
+            cur_z, cur_y = cur_elems[0], cur_elems[1]
+            late = positions <= prev_x[:, None]
+            late = late & ((cur_z == prev_z) & (cur_y == prev_y))[:, None]
+            invalid = late & (step_j > 0)
+        if tuple_i > 0:
+            # alive sequences only die at element 0 (the z coordinate)
+            invalid = invalid.at[:, ends[tuple_i]].set(True)
+        alive_logits = jnp.where(invalid, NEG_INF, logits)
+        return jnp.where(dead[:, None], forced, alive_logits)

@@ -119,19 +119,24 @@ class ShapeFormer:
         coding).  Returns (gen_tokens (B, max_gen, tuple_n) padded with end
         tokens, log_prob (B,) sum of sampled-token log-probs under the masked
         logits).
+
+        Works for any tuple_n: element 0 comes from the stage-0 logits, each
+        later element i from decode_stage_i fed the freshly sampled element
+        i-1 (the reference generator's .send() protocol for 2-tuples,
+        generalized to e.g. AU's (z, y, x, val) 4-tuples).
         """
-        assert self.tuple_n == 2, "KV-cached sampler currently supports 2-tuples"
         tf, rep = self.transformer, self.representer
         B, L_c, _ = c_indices.shape
+        n = self.tuple_n
         block = tf.block_size
         max_gen = min(int(max_steps), block - L_c)
-        e0, e1 = self.end_tokens
+        ends = self.end_tokens
+        e0 = ends[0]
         cond_pos = c_indices[..., 0]
         empty_z = c_indices[:, :0, :]
         extra_c = rep.get_extra_indices(c_indices, empty_z)
 
-        cond_valid = sparse_ops.token_mask(
-            c_indices, rep.input_end_tokens) > 0                   # (B, L_c)
+        cond_valid = rep.cond_token_mask(c_indices)                # (B, L_c)
         cond_valid_blk = jnp.pad(cond_valid, ((0, 0), (0, block - L_c)))
         arange_blk = jnp.arange(block)[None, :]
 
@@ -144,60 +149,62 @@ class ShapeFormer:
             return cond_valid_blk | gen
 
         gen_buf = jnp.stack(
-            [jnp.full((B, max_gen), e0, jnp.int32),
-             jnp.full((B, max_gen), e1, jnp.int32)], axis=-1)
+            [jnp.full((B, max_gen), e, jnp.int32) for e in ends], axis=-1)
 
-        def masker0(lg, j, prev_pos, prev_sum):
-            kw = dict(tuple_i=0, step_j=j, prev_pos=prev_pos,
-                      cond_pos=cond_pos)
-            try:
-                return rep.sampling_masker(lg, prev_pos_sum=prev_sum, **kw)
-            except TypeError:
-                return rep.sampling_masker(lg, **kw)
+        def pick(key, masked):
+            tok, _ = sampling_ops.sample_logits(
+                key, masked, top_k=top_k, top_p=top_p,
+                temperature=temperature)
+            if best_in_first:
+                tok = tok.at[0].set(jnp.argmax(masked[0]).astype(jnp.int32))
+            return tok, sampling_ops.log_prob_of(masked, tok)
 
         def body(state):
-            (caches, h0, logits0, buf, prev_pos, prev_sum, j, logp, key) = state
-            key, k0, k1 = jax.random.split(key, 3)
-            # --- element 0: position ---
-            m0 = masker0(logits0, j, prev_pos, prev_sum)
-            pos, _ = sampling_ops.sample_logits(
-                k0, m0, top_k=top_k, top_p=top_p, temperature=temperature)
-            if best_in_first:
-                pos = pos.at[0].set(jnp.argmax(m0[0]).astype(jnp.int32))
-            lp = sampling_ops.log_prob_of(m0, pos)
-            # --- element 1: value (stage 1, fed the sampled position) ---
+            (caches, h0, logits0, buf, prev_token, prev_sum, j, logp,
+             key) = state
+            keys = jax.random.split(key, n + 1)
+            key = keys[0]
             idx1 = L_c + j - 1
-            logits1, caches = tf.apply(
-                params, caches, h0, pos, idx1, key_valid_upto(idx1),
-                method=type(tf).decode_stage1)
-            m1 = rep.sampling_masker(logits1, tuple_i=1, step_j=j, new_pos=pos)
-            val, _ = sampling_ops.sample_logits(
-                k1, m1, top_k=top_k, top_p=top_p, temperature=temperature)
-            if best_in_first:
-                val = val.at[0].set(jnp.argmax(m1[0]).astype(jnp.int32))
-            lp = lp + sampling_ops.log_prob_of(m1, val)
-            token = jnp.stack([pos, val], axis=-1)
+            kv1 = key_valid_upto(idx1)
+            # --- element 0 from the running stage-0 logits ---
+            m = rep.mask_element(logits0, 0, j, prev_token, (), cond_pos,
+                                 prev_sum)
+            elem, lp = pick(keys[1], m)
+            cur = (elem,)
+            h = h0
+            # --- elements 1..n-1 via their stages, fed element i-1 ---
+            for i in range(1, n):
+                logits_i, h, caches = tf.apply(
+                    params, caches, h, cur[-1], i, idx1, kv1,
+                    method=type(tf).decode_stage_i)
+                m = rep.mask_element(logits_i, i, j, prev_token, cur,
+                                     cond_pos, prev_sum)
+                elem, lp_i = pick(keys[1 + i], m)
+                lp = lp + lp_i
+                cur = cur + (elem,)
+            token = jnp.stack(cur, axis=-1)
             buf = jax.lax.dynamic_update_slice_in_dim(
                 buf, token[:, None, :], j, axis=1)
             # --- append token, advance stage 0 ---
-            extra_new = (rep.next_extra_for(cond_pos, pos)[:, None]
+            extra_new = (rep.next_extra_for(cond_pos, cur[0])[:, None]
                          if hasattr(rep, "next_extra_for")
                          else jnp.zeros((B, 1), jnp.int32))
             idx0 = L_c + j
             caches, h0, logits0 = tf.apply(
                 params, caches, token, extra_new, idx0, j,
                 key_valid_upto(idx0), method=type(tf).decode_stage0)
-            new_sum = prev_sum + jnp.where(pos == e0, 0, pos)
-            return (caches, h0, logits0, buf, pos, new_sum, j + 1,
+            new_sum = prev_sum + jnp.where(cur[0] == e0, 0, cur[0])
+            return (caches, h0, logits0, buf, token, new_sum, j + 1,
                     logp + lp, key)
 
         def cond(state):
-            (_, _, _, _, prev_pos, _, j, _, _) = state
-            running = jnp.logical_not(jnp.all(prev_pos == e0)) | (j == 0)
+            (_, _, _, _, prev_token, _, j, _, _) = state
+            running = jnp.logical_not(jnp.all(prev_token[:, 0] == e0)) | (j == 0)
             return (j < max_gen) & running
 
-        init = (caches, h0, logits0, gen_buf,
-                jnp.full((B,), e0, jnp.int32),       # prev_pos: cond ends with e0
+        init_prev = jnp.broadcast_to(
+            jnp.asarray(ends, jnp.int32)[None, :], (B, n)).astype(jnp.int32)
+        init = (caches, h0, logits0, gen_buf, init_prev,
                 jnp.zeros((B,), jnp.int32),          # prev_sum (RR feasibility)
                 jnp.int32(0), jnp.zeros((B,), jnp.float32), rng)
         state = jax.lax.while_loop(cond, body, init)

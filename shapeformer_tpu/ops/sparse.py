@@ -83,11 +83,20 @@ def sparse2dense(seq, empty_ind, reso: int):
     return dense[:, :n_cells].reshape(B, reso, reso, reso)
 
 
+def _is_end(seq, end_tokens):
+    """(B, L, tuple_n) -> (B, L) bool: every element equals its end token
+    (works for any tuple_n, e.g. AU's (z, y, x, val) 4-tuples)."""
+    out = jnp.ones(seq.shape[:-1], bool)
+    for i in range(min(seq.shape[-1], len(end_tokens))):
+        out &= seq[..., i] == end_tokens[i]
+    return out
+
+
 def token_mask(seq, end_tokens):
-    """(B, L, 2) -> (B, L) float mask: 1.0 up to and including the FIRST end
-    token of each row, 0.0 after.  Used to weight the transformer CE loss so
-    fixed-length padding reproduces the reference's dynamic-padding loss."""
-    is_end = (seq[..., 0] == end_tokens[0]) & (seq[..., 1] == end_tokens[1])
+    """(B, L, tuple_n) -> (B, L) float mask: 1.0 up to and including the FIRST
+    end token of each row, 0.0 after.  Used to weight the transformer CE loss
+    so fixed-length padding reproduces the reference's dynamic-padding loss."""
+    is_end = _is_end(seq, end_tokens)
     # position of first end token (L if none)
     after_first_end = jnp.cumsum(is_end.astype(jnp.int32), axis=1) - is_end.astype(jnp.int32)
     return (after_first_end == 0).astype(jnp.float32)
@@ -95,7 +104,7 @@ def token_mask(seq, end_tokens):
 
 def seq_lengths(seq, end_tokens):
     """Number of real (non-end) tokens per row."""
-    is_end = (seq[..., 0] == end_tokens[0]) & (seq[..., 1] == end_tokens[1])
+    is_end = _is_end(seq, end_tokens)
     return jnp.argmax(
         jnp.concatenate([is_end, jnp.ones((seq.shape[0], 1), bool)], axis=1), axis=1)
 

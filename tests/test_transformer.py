@@ -193,3 +193,57 @@ def test_loss_and_grads(model_params, rep):
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(grads)
     assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
+
+
+# ----------------------------------------------------------------- AU (4-tuple)
+def test_au_sampler_end_to_end():
+    """AU (z, y, x, val) 4-tuple sampling through the generalized KV sampler
+    (reference representers.py:301-370): output positions are strictly
+    increasing in lexicographic (z, y, x) order and in-range after
+    conversion back to AR coding."""
+    R, V = 2, 16
+    au_ends = (R, R, R, V)
+    vocab = (R + 1, R + 1, R + 1, V + 1)
+    block = 16
+    sf = ShapeFormer(
+        tuple_n=4, block_size=block, end_tokens=au_ends,
+        vocab_sizes=vocab, extra_vocab_sizes=(2,), voxel_res=R,
+        transformer_opt={
+            "class": "shapeformer_tpu.models.shapeformer.transformer"
+                     ".mingpt.CondTupleGPT",
+            "kwargs": dict(vocab_sizes=vocab, extra_vocab_sizes=(2,),
+                           block_size=block, tuple_n=4,
+                           n_layers=(2, 1, 1, 1), n_head=2, n_embd=32,
+                           cache_dtype=jnp.float32)},
+        representer_opt={
+            "class": "shapeformer_tpu.models.shapeformer.representers.AU",
+            "kwargs": dict(voxel_res=R, end_tokens=au_ends,
+                           input_end_tokens=(R ** 3, V), block_size=block)})
+    params = sf.init_variables(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.PRNGKey(1), x.shape,
+                                              x.dtype), params)
+
+    # condition: AR-coded (pos, val) tokens -> converted to AU 4-tuples
+    c_ar = make_seq([[0, 3], [2]], [[5, 2], [7]])
+    c_au, _ = sf.representer.convert_input_indices(c_ar, c_ar[:, :0, :])
+    out, raw, logp = jax.jit(lambda p, c, k: sf.sample(
+        p, c, k, max_steps=8, top_k=4, top_p=0.9))(
+            params, c_au, jax.random.PRNGKey(5))
+    out, raw = np.asarray(out), np.asarray(raw)
+    assert raw.shape[-1] == 4 and out.shape[-1] == 2
+    assert np.isfinite(np.asarray(logp)).all()
+    for b in range(raw.shape[0]):
+        zyx = raw[b, :, :3]
+        alive = zyx[:, 0] != R
+        flat = zyx[alive, 2] + R * (zyx[alive, 1] + R * zyx[alive, 0])
+        # lexicographic growth => strictly increasing raveled positions
+        assert (np.diff(flat) > 0).all(), flat
+        assert (zyx[alive] < R).all() and (zyx[alive] >= 0).all()
+        # once dead, stays dead with full end tuples
+        dead_from = np.argmax(~alive) if (~alive).any() else len(alive)
+        assert (raw[b, dead_from:, :3] == R).all()
+        assert (raw[b, dead_from:, 3] == V).all()
+        # converted output: AR coding with end token R^3
+        out_alive = out[b, :, 0] != R ** 3
+        assert (out[b, out_alive, 0] < R ** 3).all()
