@@ -83,17 +83,39 @@ def parse_resume(ckpt, checkpoints_dir):
 
 
 def restore_checkpoint(path, target=None):
-    """Restore a pytree; with `target`, leaves adopt the target's structure."""
+    """Restore a pytree; with `target`, leaves are matched BY PATH (key
+    sequence) against the target's structure — equal leaf counts with
+    different nesting fail loudly instead of silently mis-pairing."""
     restored = _checkpointer().restore(os.path.abspath(path))
     if target is None:
         return restored
-    flat_t, treedef = jax.tree_util.tree_flatten(target)
-    flat_r = jax.tree_util.tree_leaves(restored)
-    assert len(flat_t) == len(flat_r), \
-        f"checkpoint/target mismatch: {len(flat_r)} vs {len(flat_t)} leaves"
-    return jax.tree_util.tree_unflatten(
-        treedef, [np.asarray(r).astype(t.dtype) if hasattr(t, "dtype") else r
-                  for r, t in zip(flat_r, flat_t)])
+
+    def key_str(path_parts):
+        out = []
+        for part in path_parts:
+            if hasattr(part, "key"):
+                out.append(str(part.key))
+            elif hasattr(part, "name"):
+                out.append(str(part.name))
+            elif hasattr(part, "idx"):
+                out.append(str(part.idx))
+            else:
+                out.append(str(part))
+        return "/".join(out)
+
+    flat_r = {key_str(p): leaf for p, leaf in
+              jax.tree_util.tree_flatten_with_path(restored)[0]}
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(target)
+    missing = [key_str(p) for p, _ in flat_t if key_str(p) not in flat_r]
+    assert not missing, \
+        f"checkpoint at {path} lacks target leaves: {missing[:5]}" \
+        f"{'...' if len(missing) > 5 else ''}"
+    leaves = []
+    for p, t in flat_t:
+        r = flat_r[key_str(p)]
+        leaves.append(np.asarray(r).astype(t.dtype)
+                      if hasattr(t, "dtype") else r)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def load_hyper_parameters(path):

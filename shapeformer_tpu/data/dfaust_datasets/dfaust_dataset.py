@@ -24,6 +24,9 @@ _DEFAULT_PARTIAL = {"class": "shapeformer.data.partial.BallSelector",
                     "kwargs": dict(radius=0.4, context_N=512)}
 
 
+from ...callbacks import base as _base_cb
+from ...utils import geoutil, nputil, visutil
+
 class _DFAUSTBase(Dataset):
     def __init__(self, dataset_path="datasets/DFAUST/data/", data_list=None,
                  split="train", boundary_N=2048, target_N=8192, version=0,
@@ -124,3 +127,39 @@ class DFAUSTPointsDataset(_DFAUSTBase):
         Xbd = self._shift(Xbd)
         Xct, Xbd = self._partial_and_boundary(Xbd)
         return dict(Xct=Xct, Xbd=Xbd)
+
+
+class VisDFAUSTDataset_points(_base_cb.VisCallback):
+    """Dataset inspection callback (reference dfaust_dataset.py:86-110 /
+    dfaustv1_dataset.py:80): renders the GT occupancy recon (if targets are
+    present) and the boundary cloud of each visual item — pure observability,
+    no model involved."""
+
+    def __init__(self, render_samples=64, resolution=(256, 256), **kwargs):
+        self.resolution = tuple(resolution)
+        self.render_samples = render_samples
+        super().__init__(**kwargs)
+        self.all_Xtg = nputil.makeGrid([-1, -1, -1.0], [1.0, 1, 1],
+                                       [128] * 3, indexing="ij")
+
+    def compute_batch(self, batch, input_name=""):
+        return {"batch": batch}
+
+    def visualize_batch(self, computed, input_name=""):
+        batch = computed["batch"]
+        imgs = {}
+        if "Ytg" in batch and "Xtg" in batch:
+            occ = np.asarray(batch["Ytg"][0]).reshape(-1)
+            xtg = np.asarray(batch["Xtg"][0])
+            n = round(occ.shape[0] ** (1 / 3))
+            if n ** 3 == occ.shape[0]:  # full-grid targets -> meshable
+                vert, face = geoutil.array2mesh(occ, thresh=0.5, coords=xtg)
+                imgs["gt"] = visutil.render_mesh(vert, face,
+                                                 resolution=self.resolution)
+            else:                        # sparse targets -> occupied points
+                imgs["gt"] = visutil.render_cloud(xtg[occ > 0.5],
+                                                  resolution=self.resolution)
+        if "Xbd" in batch:
+            imgs["gt_pc"] = visutil.render_cloud(np.asarray(batch["Xbd"][0]),
+                                                 resolution=self.resolution)
+        return imgs
