@@ -36,8 +36,16 @@ SAMPLE_N = 8
 MAX_STEPS = 512
 DECODE_RES = 128
 TOP_K, TOP_P = 100, 0.4
-PIPELINE_SHAPES = 4
+PIPELINE_SHAPES = 8
 DTYPE = jnp.bfloat16
+# int8 weight-only transformer serving path (ops/quant.py); SFTPU_BENCH_INT8=0
+# falls back to bf16 weights
+INT8 = __import__("os").environ.get("SFTPU_BENCH_INT8", "1") == "1"
+# fp8 KV-cache storage halves the per-step cache stream; SFTPU_BENCH_FP8KV=0
+# keeps the bf16 cache
+CACHE_DTYPE = (jnp.float8_e4m3fn
+               if __import__("os").environ.get("SFTPU_BENCH_FP8KV", "1") == "1"
+               else jnp.bfloat16)
 
 
 def log(*a):
@@ -70,21 +78,24 @@ def build():
                                     upsampler_kwargs=dict(
                                         in_channels=128, upsampler_steps=2))},
         vq_beta=0.001)
-    sf = ShapeFormer(
-        tuple_n=2, block_size=812, end_tokens=(4096, 4096),
-        vocab_sizes=(4097, 4097), extra_vocab_sizes=(4097,), voxel_res=16,
-        transformer_opt={"class": "shapeformer_tpu.models.shapeformer"
-                                  ".transformer.mingpt.CondTupleGPT",
-                         "kwargs": dict(tuple_n=2, vocab_sizes=(4097, 4097),
-                                        extra_vocab_sizes=(4097,),
-                                        block_size=812, n_layers=[20, 4],
-                                        n_head=16, n_embd=1024, dtype=DTYPE)},
-        representer_opt={"class": "shapeformer_tpu.models.shapeformer"
-                                  ".representers.AR_N",
-                         "kwargs": dict(voxel_res=16, block_size=812,
-                                        end_tokens=(4096, 4096),
-                                        mask_invalid_completion=True)})
-    return vqdif, sf
+    def make_sf(quant):
+        return ShapeFormer(
+            tuple_n=2, block_size=812, end_tokens=(4096, 4096),
+            vocab_sizes=(4097, 4097), extra_vocab_sizes=(4097,), voxel_res=16,
+            transformer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                      ".transformer.mingpt.CondTupleGPT",
+                             "kwargs": dict(tuple_n=2, vocab_sizes=(4097, 4097),
+                                            extra_vocab_sizes=(4097,),
+                                            block_size=812, n_layers=[20, 4],
+                                            n_head=16, n_embd=1024, dtype=DTYPE,
+                                            cache_dtype=CACHE_DTYPE,
+                                            quant_dense=quant)},
+            representer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                      ".representers.AR_N",
+                             "kwargs": dict(voxel_res=16, block_size=812,
+                                            end_tokens=(4096, 4096),
+                                            mask_invalid_completion=True)})
+    return vqdif, make_sf(INT8), (make_sf(False) if INT8 else None)
 
 
 def _cast_bf16(tree):
@@ -149,7 +160,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
     bench_scatter()
-    vqdif, sf = build()
+    vqdif, sf, sf_float = build()
 
     rng = jax.random.PRNGKey(0)
     cloud = jax.random.uniform(rng, (1, 16384, 3), minval=-0.8, maxval=0.8)
@@ -159,10 +170,18 @@ def main():
     vq_vars = {"params": _cast_bf16(vq_vars["params"]),
                **{k: v for k, v in vq_vars.items() if k != "params"}}
     sf.representer.set_vqdif(vqdif, vq_vars)
-    params = _cast_bf16(sf.init_variables(jax.random.PRNGKey(1)))
+    if INT8:
+        from shapeformer_tpu.ops.quant import quantize_tree
+        sf_float.representer.set_vqdif(vqdif, vq_vars)
+        fparams = sf_float.init_variables(jax.random.PRNGKey(1))
+        params = {"params": quantize_tree(fparams["params"])}
+        wbits = "int8 kernels"
+    else:
+        params = _cast_bf16(sf.init_variables(jax.random.PRNGKey(1)))
+        wbits = "bf16"
     n_params = sum(np.prod(x.shape) for x in
                    jax.tree_util.tree_leaves(params))
-    log(f"transformer params: {n_params/1e6:.1f}M bf16 "
+    log(f"transformer params: {n_params/1e6:.1f}M ({wbits}) "
         f"(init {time.time()-t0:.1f}s)")
 
     rep = sf.representer
@@ -244,19 +263,27 @@ def main():
         o, lp, em = jit_sample(params, vq_vars, Xct, jax.random.PRNGKey(100 + i))
         return jit_decode(vq_vars, o, em, lp)
 
-    t0 = time.time()
+    # Per-shape completion intervals; the single host core's speed swings
+    # several-fold with machine noise, so the steady-state estimate is the
+    # MEDIAN interval, not the mean.
+    done_t = []
     occ_fut = launch(0)
+    t0 = time.time()
     for i in range(PIPELINE_SHAPES):
         nxt = launch(i + 1) if i + 1 < PIPELINE_SHAPES else None
         occ_i = np.asarray(occ_fut)    # blocks; device already runs shape i+1
         occ_fut = nxt
         if mesh_thread is not None:
             mesh_thread.join()
+            done_t.append(time.time())
         mesh_thread = threading.Thread(target=mesh_job, args=(occ_i,))
         mesh_thread.start()
     mesh_thread.join()
-    steady_s = (time.time() - t0) / PIPELINE_SHAPES
-    log(f"pipelined: {steady_s:.3f}s/shape over {PIPELINE_SHAPES} shapes")
+    done_t.append(time.time())
+    intervals = np.diff([t0] + done_t)
+    steady_s = float(np.median(intervals))
+    log(f"pipelined intervals over {PIPELINE_SHAPES} shapes: "
+        f"{[round(t, 3) for t in intervals]} -> median {steady_s:.3f}s/shape")
 
     result = {"metric": "shape_completion_s", "value": round(steady_s, 4),
               "unit": "s", "vs_baseline": round(1.0 / steady_s, 3),

@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ....ops.quant import make_dense
+
 NEG_INF = -1e30
 
 
@@ -44,10 +46,13 @@ class CausalSelfAttention(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant_dense: bool = False
 
     def setup(self):
-        self.qkv = nn.Dense(3 * self.n_embd, dtype=self.dtype)
-        self.proj = nn.Dense(self.n_embd, dtype=self.dtype)
+        self.qkv = make_dense(self.quant_dense, 3 * self.n_embd,
+                              dtype=self.dtype)
+        self.proj = make_dense(self.quant_dense, self.n_embd,
+                               dtype=self.dtype)
         self.attn_drop = nn.Dropout(self.attn_pdrop)
         self.resid_drop = nn.Dropout(self.resid_pdrop)
 
@@ -99,15 +104,19 @@ class Block(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant_dense: bool = False
 
     def setup(self):
         self.ln1 = nn.LayerNorm(dtype=self.dtype)
         self.ln2 = nn.LayerNorm(dtype=self.dtype)
         self.attn = CausalSelfAttention(self.n_embd, self.n_head,
                                         self.attn_pdrop, self.resid_pdrop,
-                                        dtype=self.dtype)
-        self.fc1 = nn.Dense(4 * self.n_embd, dtype=self.dtype)
-        self.fc2 = nn.Dense(self.n_embd, dtype=self.dtype)
+                                        dtype=self.dtype,
+                                        quant_dense=self.quant_dense)
+        self.fc1 = make_dense(self.quant_dense, 4 * self.n_embd,
+                              dtype=self.dtype)
+        self.fc2 = make_dense(self.quant_dense, self.n_embd,
+                              dtype=self.dtype)
         self.mlp_drop = nn.Dropout(self.resid_pdrop)
 
     def _mlp(self, x, deterministic):
@@ -131,13 +140,19 @@ class Head(nn.Module):
     n_embd: int
     head_hidden_layers: int = 0
     dtype: jnp.dtype = jnp.float32
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm(dtype=self.dtype)(x)
-        for _ in range(self.head_hidden_layers):
-            x = nn.relu(nn.Dense(self.n_embd, dtype=self.dtype)(x))
-        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype)(x)
+        # explicit Dense_i names keep param paths identical across the
+        # quantized and float variants (QuantDense would auto-name otherwise)
+        for i in range(self.head_hidden_layers):
+            x = nn.relu(make_dense(self.quant_dense, self.n_embd,
+                                   dtype=self.dtype, name=f"Dense_{i}")(x))
+        return make_dense(self.quant_dense, self.vocab_size, use_bias=False,
+                          dtype=self.dtype,
+                          name=f"Dense_{self.head_hidden_layers}")(x)
 
 
 class CondTupleGPT(nn.Module):
@@ -158,6 +173,7 @@ class CondTupleGPT(nn.Module):
     head_hidden_layers: int = 0
     dtype: jnp.dtype = jnp.float32
     cache_dtype: jnp.dtype = jnp.bfloat16
+    quant_dense: bool = False  # int8 weight-only serving path (ops/quant.py)
 
     def setup(self):
         assert self.tuple_n == len(self.vocab_sizes) == len(self.n_layers)
@@ -175,10 +191,12 @@ class CondTupleGPT(nn.Module):
                                            (1, self.block_size, self.n_embd))
         self.stages = [
             [Block(self.n_embd, self.n_head, self.attn_pdrop, self.resid_pdrop,
-                   dtype=self.dtype) for _ in range(n)]
+                   dtype=self.dtype, quant_dense=self.quant_dense)
+             for _ in range(n)]
             for n in self.n_layers]
         self.heads = [Head(v, self.n_embd, self.head_hidden_layers,
-                           dtype=self.dtype) for v in self.vocab_sizes]
+                           dtype=self.dtype, quant_dense=self.quant_dense)
+                      for v in self.vocab_sizes]
         self.drop = nn.Dropout(self.embd_pdrop)
 
     def get_block_size(self):

@@ -247,3 +247,55 @@ def test_au_sampler_end_to_end():
         # converted output: AR coding with end token R^3
         out_alive = out[b, :, 0] != R ** 3
         assert (out[b, out_alive, 0] < R ** 3).all()
+
+
+def test_quant_dense_matches_float(model_params, rep):
+    """int8 weight-only serving path (ops/quant.py): quantized logits track
+    the float model closely, on the teacher-forced AND KV-decode paths."""
+    from shapeformer_tpu.ops.quant import quantize_tree
+
+    sf, params = model_params
+    qtf = CondTupleGPT(**TF_KW, quant_dense=True)
+    qparams = {"params": quantize_tree(params["params"])}
+    c = make_seq([[0, 3, 6], [1, 2, 4, 7]], [[5, 2, 9], [1, 1, 3, 2]])
+    z = make_seq([[1, 4, 5], [0, 5]], [[2, 3, 1], [7, 4]])
+    extra = rep.get_extra_indices(c, z)
+    cz = jnp.concatenate([c, z], axis=1)
+    idx, target = cz[:, :-1], cz[:, 1:]
+    kv = sparse_ops.token_mask(cz, END)[:, :-1] > 0
+    want = sf.transformer.apply(params, idx, extra[:, :-1], MAXLEN, target, kv)
+    got = qtf.apply(qparams, idx, extra[:, :-1], MAXLEN, target, kv)
+    for a, b in zip(want, got):
+        a, b = np.asarray(a), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.1, f"teacher-forced quant drift {rel}"
+
+    # KV-cached decode consistency within the quant model itself
+    cond_valid = sparse_ops.token_mask(c, END) > 0
+    caches, h0, lg0 = qtf.apply(qparams, c, extra[:, :MAXLEN], MAXLEN,
+                                cond_valid, method=CondTupleGPT.prefill)
+    full_q = []
+    Lc = MAXLEN
+    cz_q = jnp.concatenate([c, z], axis=1)
+    full_logits = qtf.apply(qparams, cz_q[:, :-1], extra[:, :-1], Lc,
+                            cz_q[:, 1:], kv)
+    np.testing.assert_allclose(np.asarray(lg0, np.float32),
+                               np.asarray(full_logits[0][:, Lc - 1],
+                                          np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_fp8_kv_cache_decode(model_params, rep):
+    """fp8 KV-cache storage (serving knob): decode logits stay close to the
+    f32-cache decode on the same weights."""
+    sf, params = model_params
+    tf8 = CondTupleGPT(**{**TF_KW, "cache_dtype": jnp.float8_e4m3fn})
+    c = make_seq([[0, 3, 6], [1, 2, 4, 7]], [[5, 2, 9], [1, 1, 3, 2]])
+    extra = rep.get_extra_indices(c, c[:, :0, :])
+    cond_valid = sparse_ops.token_mask(c, END) > 0
+    _, _, lg0_f32 = sf.transformer.apply(params, c, extra, MAXLEN, cond_valid,
+                                         method=CondTupleGPT.prefill)
+    _, _, lg0_fp8 = tf8.apply(params, c, extra, MAXLEN, cond_valid,
+                              method=CondTupleGPT.prefill)
+    a, b = np.asarray(lg0_f32), np.asarray(lg0_fp8)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.12, f"fp8 cache drift {rel}"
