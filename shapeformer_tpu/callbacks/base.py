@@ -50,6 +50,10 @@ class VisCallback:
             self.visual_indices = "all"
         self.system = None
         self.state = None
+        # optional image sink (trainer sets this when logger: tensorboard;
+        # replaces the reference's wandb image grids, plutil.py:274-287)
+        self.image_logger = None
+        self._epoch = 0
 
     # ----------------------------------------------------- subclass interface
     def compute_batch(self, batch, input_name=""):
@@ -100,6 +104,9 @@ class VisCallback:
                 for key, img in (imgs or {}).items():
                     visutil.saveImg(
                         os.path.join(visual_dir, f"{name}_{key}.png"), img)
+                    if self.image_logger is not None:
+                        self.image_logger(f"{type(self).__name__}/{name}_{key}",
+                                          img, self._epoch)
                 all_imgs.append((name, imgs))
             except Exception as e:
                 traceback.print_exc()
@@ -117,6 +124,7 @@ class VisCallback:
 
     # ----------------------------------------------------------------- hooks
     def on_epoch_end(self, system, state, datamodule, epoch):
+        self._epoch = epoch
         if (epoch + 1) % self.every_n_epoch == 0:
             try:
                 self.process(system, state, datamodule.visual_dataloader())

@@ -158,6 +158,15 @@ class Trainer:
                 **(self.trainer_opt.get("logger_kwargs") or {}))
         return self._tb_writer
 
+    def _tb_image_logger(self, tag, img, step):
+        """(H, W, 3) uint8/float image -> tensorboard (reference logs wandb
+        image grids, plutil.py:274-287)."""
+        import numpy as _np
+        arr = _np.asarray(img)
+        if arr.dtype != _np.uint8:
+            arr = (_np.clip(arr, 0, 1) * 255).astype(_np.uint8)
+        self._tensorboard().add_image(tag, arr, step, dataformats="HWC")
+
     def log_metrics(self, metrics, epoch, stage):
         record = {"epoch": epoch, "stage": stage,
                   **{k: float(v) for k, v in metrics.items()}}
@@ -263,6 +272,8 @@ class Trainer:
                         print("Early stopping: val/loss plateaued.")
                         break
                 for cb in self.callbacks:
+                    if self.trainer_opt.get("logger") == "tensorboard":
+                        cb.image_logger = self._tb_image_logger
                     cb.on_epoch_end(system, self.state, self.data_module,
                                     epoch)
         print("Model trained, best model path:", best_path)

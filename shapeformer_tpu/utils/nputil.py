@@ -157,6 +157,83 @@ def point2voxel(points, grid_dim=32):
     return vox
 
 
+# ------------------------------------------------------------ cube un/folding
+def unfold_cube(arr, last_dims=3, size=2, step=2, flatten=True):
+    """Split the trailing `last_dims` axes into non-overlapping size^N blocks
+    (ptutil.unfold_cube, ptutil.py:236-247; torch .unfold with size == step)."""
+    assert size == step, "only non-overlapping blocks are used by the pipeline"
+    arr = np.asarray(arr)
+    batch = arr.shape[:-last_dims]
+    dims = arr.shape[-last_dims:]
+    assert all(d % size == 0 for d in dims), (dims, size)
+    split = []
+    for d in dims:
+        split += [d // size, size]
+    x = arr.reshape(*batch, *split)
+    nb = len(batch)
+    order = (list(range(nb)) + [nb + 2 * i for i in range(last_dims)]
+             + [nb + 2 * i + 1 for i in range(last_dims)])
+    x = np.transpose(x, order)
+    if flatten:
+        n_blocks = int(np.prod([d // size for d in dims]))
+        x = x.reshape(*batch, n_blocks, size ** last_dims)
+    return x
+
+
+def fold_cube(unfolded, N=3):
+    """Inverse of unfold_cube(flatten=True): (..., n_blocks, cell^N) -> dense
+    (ptutil.fold_cube, ptutil.py:248-258)."""
+    unfolded = np.asarray(unfolded)
+    batch = unfolded.shape[:-2]
+    nb_dim = int(round(unfolded.shape[-2] ** (1.0 / N)))
+    s = int(round(unfolded.shape[-1] ** (1.0 / N)))
+    assert nb_dim ** N == unfolded.shape[-2] and s ** N == unfolded.shape[-1]
+    x = unfolded.reshape(*batch, *((nb_dim,) * N), *((s,) * N))
+    b = len(batch)
+    order = list(range(b))
+    for i in range(N):
+        order += [b + i, b + N + i]
+    x = np.transpose(x, order)
+    return x.reshape(*batch, *((nb_dim * s,) * N))
+
+
+# ------------------------------------------------------------- octree codes
+def zorder2tree(codes, dim=3, bits=6):
+    """Morton codes -> sorted unique octree node codes: each code prefixed
+    with a root bit, plus every ancestor prefix (ptutil.zorder2tree,
+    ptutil.py:338-354)."""
+    codes = np.asarray(codes, np.int64) + (np.int64(1) << (bits * dim))
+    shifts = (np.arange(bits + 1, dtype=np.int64) * dim)
+    tree = (codes[..., None] >> shifts).reshape(-1)
+    return np.unique(tree)
+
+
+def point2tree(points, depth=6, max_length=-1):
+    """Points in [-1,1]^D -> sorted octree node codes at `depth`
+    (ptutil.point2tree, ptutil.py:491-502)."""
+    points = np.asarray(points)
+    codes = point2index(points, grid_dim=2 ** depth, ravel=True,
+                        ravel_type="zorder")
+    tree = zorder2tree(codes, dim=points.shape[-1], bits=depth)
+    if max_length > -1:
+        tree = tree[:max_length]
+    return tree
+
+
+def tree2bboxes(tree, dim=3, depth=6):
+    """Octree node codes -> (box centers in [-1,1], box half-len*2, node
+    depths) (ptutil.tree2bboxes, ptutil.py:503-518)."""
+    tree = np.asarray(tree, np.int64)
+    first_bit = np.floor(np.log2(tree.astype(np.float64))).astype(np.int64)
+    tdepth = first_bit // dim
+    treeind = tree - (np.int64(1) << first_bit)
+    idx = unravel_index_zorder(treeind, dim=dim, depth=depth)
+    grid_dims = (np.int64(1) << tdepth).astype(np.float64)
+    boxcenter = index2point(idx, grid_dim=grid_dims[..., None])
+    boxlen = 1.0 / grid_dims
+    return boxcenter, boxlen, tdepth
+
+
 # ------------------------------------------------------- block voxel compression
 def compress_voxels(voxel, block=16, packbits=True):
     """Compress a cubic binary voxel grid into (vocab, idx) of `block`^3 tiles.

@@ -106,3 +106,33 @@ def imageGrid(images, cols=None):
         r, c = divmod(i, cols)
         grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im[..., :3]
     return grid
+
+
+def _to_uint8(img):
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
+def saveVideo(path, frames, fps: int = 8):
+    """Write a frame sequence as an animated GIF (reference nputil
+    imgs2video/gif helpers; GIF keeps the host dependency-free)."""
+    from PIL import Image
+    frames = [Image.fromarray(_to_uint8(f)) for f in frames]
+    if not frames:
+        return path
+    if not path.endswith(".gif"):
+        path = path + ".gif"
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / max(fps, 1)), loop=0)
+    return path
+
+
+def rotating_views(render_fn, n_frames: int = 16, **kwargs):
+    """Render n_frames views with the camera azimuth swept 360 degrees;
+    render_fn(camera=dict(azim=..., elev=...), **kwargs) -> image."""
+    return [render_fn(camera=dict(azim=360.0 * i / n_frames, elev=20.0),
+                      **kwargs) for i in range(n_frames)]

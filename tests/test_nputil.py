@@ -92,3 +92,39 @@ def test_sigmoid_logsoftmax():
     assert np.isfinite(s).all() and s[1] == pytest.approx(0.5)
     ls = npu.logsoftmax(np.array([[1.0, 2.0, 3.0]]))
     assert np.isclose(np.exp(ls).sum(), 1.0)
+
+
+def test_unfold_fold_cube_roundtrip(rng):
+    vox = rng.integers(0, 2, (2, 8, 8, 8)).astype(np.float32)
+    unfolded = npu.unfold_cube(vox, last_dims=3, size=2, step=2)
+    assert unfolded.shape == (2, 64, 8)
+    back = np.stack([npu.fold_cube(u, N=3) for u in unfolded])
+    np.testing.assert_array_equal(back, vox)
+    # non-flat layout keeps block axes separable
+    blocks = npu.unfold_cube(vox, last_dims=3, size=2, step=2, flatten=False)
+    assert blocks.shape == (2, 4, 4, 4, 2, 2, 2)
+    np.testing.assert_array_equal(blocks[0, 0, 0, 0], vox[0, :2, :2, :2])
+
+
+def test_point2tree_octree_codes(rng):
+    pts = rng.uniform(-0.9, 0.9, (50, 3))
+    depth = 4
+    tree = npu.point2tree(pts, depth=depth)
+    assert (np.diff(tree) > 0).all()          # sorted unique
+    assert tree[0] == 1                       # root node always present
+    # every node's parent (3-bit shift) is in the tree
+    parents = set(tree.tolist())
+    for code in tree:
+        if code > 1:
+            assert int(code) >> 3 in parents, code
+    # leaves live at the requested depth
+    leaf_mask = tree >= (1 << (3 * depth))
+    assert leaf_mask.sum() >= 1
+    centers, boxlen, tdepth = npu.tree2bboxes(tree, dim=3, depth=depth)
+    assert (tdepth[leaf_mask] == depth).all()
+    assert np.allclose(boxlen[tree == 1], 1.0)  # root half-extent (bbox [-1,1])
+    # leaf centers reproduce the occupied cells of the voxelization
+    leaf_codes = tree[leaf_mask] - (1 << (3 * depth))
+    want = np.unique(npu.point2index(pts, grid_dim=2 ** depth, ravel=True,
+                                        ravel_type="zorder"))
+    np.testing.assert_array_equal(np.sort(leaf_codes), want)

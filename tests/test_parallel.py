@@ -92,3 +92,53 @@ def test_vqdif_dp_step():
     assert np.isfinite(float(losses["loss"]))
     # EMA state must have advanced using the *global* batch statistics
     assert float(jnp.abs(new_state["vq"]["quantizer"]["N"]).sum()) > 0
+
+
+def test_steps_tolerate_batch_shape_changes():
+    """_run_epoch re-jits when batch shapes change (ragged real data: full-grid
+    Xtg vs sampled targets, tail batches) — both the plain and the mesh-sharded
+    step paths must survive a shape change mid-run (VERDICT r1 weak #4)."""
+    import jax
+    import numpy as np
+    from shapeformer_tpu.parallel import make_mesh
+    from shapeformer_tpu.systems import VQDIFSystem
+
+    opt = {"class": "shapeformer_tpu.models.vqdif.vqdif.VQDIF",
+           "kwargs": dict(
+               vq_beta=0.001,
+               encoder_opt={"class": "shapeformer_tpu.models.vqdif.enc"
+                                     ".LocalPoolPointnet",
+                            "kwargs": dict(c_dim=8, hidden_dim=8,
+                                           grid_resolution=16,
+                                           downsampler=True,
+                                           downsampler_kwargs=dict(
+                                               in_channels=8,
+                                               downsample_steps=1))},
+               # one downsampling step doubles the channel dim: 8 -> 16
+               quantizer_opt={"class": "shapeformer_tpu.models.vqdif"
+                                       ".quantizer.Quantizer",
+                              "kwargs": dict(vocab_size=16, n_embd=16)},
+               decoder_opt={"class": "shapeformer_tpu.models.vqdif.dec"
+                                     ".LocalDecoder",
+                            "kwargs": dict(c_dim=16, hidden_size=8)})}
+
+    def batch(B, N, M):
+        rng = np.random.default_rng(N)
+        return dict(Xbd=rng.uniform(-0.9, 0.9, (B, N, 3)).astype(np.float32),
+                    Xtg=rng.uniform(-0.9, 0.9, (B, M, 3)).astype(np.float32),
+                    Ytg=rng.integers(0, 2, (B, M, 1)).astype(np.float32))
+
+    system = VQDIFSystem(opt, steps_per_epoch=2)
+    state = system.create_state(jax.random.PRNGKey(0), batch(2, 256, 128))
+    state, m1 = system.train_step(state, batch(2, 256, 128))
+    state, m2 = system.train_step(state, batch(2, 512, 512))   # re-jit
+    state, m3 = system.train_step(state, batch(1, 256, 128))   # tail batch
+    assert all(np.isfinite(float(m["loss"])) for m in (m1, m2, m3))
+
+    mesh = make_mesh(4)
+    system2 = VQDIFSystem(opt, steps_per_epoch=2)
+    st = system2.create_state(jax.random.PRNGKey(0), batch(4, 256, 128))
+    st = system2.attach_mesh(mesh, st, batch(4, 256, 128))
+    st, mm1 = system2.train_step(st, batch(4, 256, 128))
+    st, mm2 = system2.train_step(st, batch(3, 256, 128))       # pads to dp
+    assert np.isfinite(float(mm1["loss"])) and np.isfinite(float(mm2["loss"]))
