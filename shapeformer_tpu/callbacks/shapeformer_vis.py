@@ -50,11 +50,23 @@ class VisShapeFormer(VisCallback):
     def _build(self):
         model = self.system.model
         rep = model.representer
+        mesh = getattr(self.system, "mesh", None)
+
+        def shard_candidates(x):
+            """Under a trainer mesh, spread the sample_n candidate batch over
+            the 'data' axis (the reference samples all candidates on one GPU,
+            shapeformer.py:229; SURVEY.md section 2.2 TPU mapping)."""
+            if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data")))
+            return x
 
         def sample_fn(params, vqdif_vars, Xct, rng):
             c, _, _, others = rep.get_indices(Xct=Xct, stage="test",
                                               vqdif_vars=vqdif_vars)
-            c_exp = jnp.broadcast_to(c, (self.sample_n,) + c.shape[1:])
+            c_exp = shard_candidates(
+                jnp.broadcast_to(c, (self.sample_n,) + c.shape[1:]))
             out, raw, logp = model.sample(
                 params, c_exp, rng, max_steps=self.sample_max_step,
                 top_k=self.top_k, top_p=self.top_p,
@@ -65,10 +77,11 @@ class VisShapeFormer(VisCallback):
         chunk = min(self.chunk, self.all_Xtg.shape[0])
 
         def decode_fn(vqdif_vars, tokens, empty_index):
-            dense = sparse_ops.sparse2dense(tokens, empty_index,
-                                            2 ** self.depth)
-            Xtg = jnp.broadcast_to(jnp.asarray(self.all_Xtg)[None],
-                                   (tokens.shape[0],) + self.all_Xtg.shape)
+            dense = shard_candidates(sparse_ops.sparse2dense(
+                tokens, empty_index, 2 ** self.depth))
+            Xtg = shard_candidates(jnp.broadcast_to(
+                jnp.asarray(self.all_Xtg)[None],
+                (tokens.shape[0],) + self.all_Xtg.shape))
             return vqdif.apply(vqdif_vars, dense, Xtg, chunk,
                                method=VQDIF.decode_index_chunked)["logits"]
 

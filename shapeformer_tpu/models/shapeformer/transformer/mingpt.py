@@ -107,8 +107,8 @@ class Block(nn.Module):
     quant_dense: bool = False
 
     def setup(self):
-        self.ln1 = nn.LayerNorm(dtype=self.dtype)
-        self.ln2 = nn.LayerNorm(dtype=self.dtype)
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn = CausalSelfAttention(self.n_embd, self.n_head,
                                         self.attn_pdrop, self.resid_pdrop,
                                         dtype=self.dtype,
@@ -120,8 +120,11 @@ class Block(nn.Module):
         self.mlp_drop = nn.Dropout(self.resid_pdrop)
 
     def _mlp(self, x, deterministic):
-        return self.mlp_drop(self.fc2(nn.gelu(self.fc1(x))),
-                             deterministic=deterministic)
+        # exact (erf) GELU: the reference uses torch nn.GELU()'s default
+        # (mingpt.py:104), and checkpoint-transfer fidelity tracks it
+        return self.mlp_drop(
+            self.fc2(nn.gelu(self.fc1(x), approximate=False)),
+            deterministic=deterministic)
 
     def __call__(self, x, mask, deterministic: bool = True):
         a, kv = self.attn(self.ln1(x), mask, deterministic)
@@ -144,7 +147,7 @@ class Head(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         # explicit Dense_i names keep param paths identical across the
         # quantized and float variants (QuantDense would auto-name otherwise)
         for i in range(self.head_hidden_layers):
@@ -380,5 +383,5 @@ class GPT(nn.Module):
             x, _ = Block(self.n_embd, self.n_head, self.attn_pdrop,
                          self.resid_pdrop, dtype=self.dtype)(
                 x, mask, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype)(x)

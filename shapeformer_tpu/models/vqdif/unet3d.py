@@ -51,7 +51,7 @@ class SingleConv(nn.Module):
                 n_ch = x.shape[-1]
                 groups = self.num_groups if n_ch >= self.num_groups else 1
                 assert n_ch % groups == 0
-                x = nn.GroupNorm(num_groups=groups, dtype=self.dtype,
+                x = nn.GroupNorm(epsilon=1e-5, num_groups=groups, dtype=self.dtype,
                                  name=f"norm{i}")(x)
             else:
                 raise ValueError(f"unsupported layer char {ch!r}")

@@ -29,7 +29,7 @@ class ConvCRG(nn.Module):
                     dtype=self.dtype, name="conv")(x)
         x = nn.relu(x)
         groups = self.num_groups if self.features >= self.num_groups else 1
-        return nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        return nn.GroupNorm(epsilon=1e-5, num_groups=groups, dtype=self.dtype, name="norm")(x)
 
 
 class Downsampler(nn.Module):

@@ -24,11 +24,14 @@ def trilinear_sample(grid, p_nor):
     B, X, Y, Z, C = grid.shape
     res = jnp.asarray([X, Y, Z], dtype=p_nor.dtype)
     f = p_nor * (res - 1.0)                       # continuous voxel coords
-    i0 = jnp.floor(f).astype(jnp.int32)
-    w = (f - i0.astype(p_nor.dtype)).astype(grid.dtype)
+    raw = jnp.floor(f).astype(jnp.int32)
+    w = (f - raw.astype(p_nor.dtype)).astype(grid.dtype)
     hi = jnp.asarray([X - 1, Y - 1, Z - 1], jnp.int32)
-    i0 = jnp.clip(i0, 0, hi)                      # border padding
-    i1 = jnp.clip(i0 + 1, 0, hi)
+    # border padding: clamp BOTH corners from the raw floor — clamping i0
+    # first and adding 1 after would interpolate inward for coords < 0
+    # (pinned against torch grid_sample by tests/test_golden_torch.py)
+    i0 = jnp.clip(raw, 0, hi)
+    i1 = jnp.clip(raw + 1, 0, hi)
 
     b = jnp.arange(B, dtype=jnp.int32)[:, None]
     wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]

@@ -142,3 +142,36 @@ def test_steps_tolerate_batch_shape_changes():
     st, mm1 = system2.train_step(st, batch(4, 256, 128))
     st, mm2 = system2.train_step(st, batch(3, 256, 128))       # pads to dp
     assert np.isfinite(float(mm1["loss"])) and np.isfinite(float(mm2["loss"]))
+
+
+def test_completion_callback_candidate_sharding(tmp_path):
+    """VisShapeFormer under a trainer mesh: the sample_n candidate batch is
+    sharded over the 'data' axis (SURVEY.md section 2.2 mapping) and the
+    callback still produces ranked samples + decoded logits."""
+    import jax
+    import numpy as np
+    import __graft_entry__ as ge
+    from shapeformer_tpu.callbacks.shapeformer_vis import VisShapeFormer
+    from shapeformer_tpu.parallel import make_mesh
+
+    vqdif, sf = ge._build_models(voxel_res=4, grid_res=8, vocab=32,
+                                 vq_dim=32, n_embd=32, n_layers=(1, 1),
+                                 n_head=2, block_size=34)
+    params, vq_vars = ge._init_all(vqdif, sf, n_pts=256)
+
+    class SystemShim:
+        model = sf
+        mesh = make_mesh(4)
+        vqdif_vars = vq_vars
+
+    cb = VisShapeFormer(sample_n=4, top_k=8, top_p=0.9, depth=2,
+                        decode_res=16, sample_max_step=4,
+                        end_tokens=(64, 32), data_dir=str(tmp_path))
+    cb.system = SystemShim()
+    cb.state = {"params": params}
+    batch = {"Xct": np.random.default_rng(0).uniform(
+        -0.8, 0.8, (1, 256, 3)).astype(np.float32)}
+    computed = cb.compute_batch(batch, input_name="t")
+    assert computed["samples"].shape[0] == 4
+    assert computed["decoded_logits"].shape == (4, 16 ** 3, 1)
+    assert np.isfinite(computed["log_prob"]).all()
