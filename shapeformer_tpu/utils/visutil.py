@@ -1,9 +1,11 @@
-"""Minimal matplotlib-based 3D rendering (replaces the fresnel ray tracer).
+"""Diagnostic 3D rendering helpers.
 
-The reference renders meshes/clouds/voxel plots through the fresnel C++ path
-tracer (xgutils/vis/fresnelvis.py, vis3d.py) — unavailable here and pure
-observability, not model path (SURVEY.md section 2.3).  These helpers produce
-comparable diagnostic images with matplotlib's Agg backend.
+Mesh and cloud renders run through the first-party C++ software rasterizer
+(native/rasterizer.cpp via utils.vis.fresnelvis — the replacement for the
+reference's fresnel path tracer, SURVEY.md section 2.3); matplotlib's Agg
+backend covers plots, image IO and the voxel-index scatter.  The (elev, azim)
+camera convention of earlier rounds is preserved and converted to the
+orthographic camPos model.
 """
 from __future__ import annotations
 
@@ -13,7 +15,6 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
-from mpl_toolkits.mplot3d.art3d import Poly3DCollection  # noqa: E402
 
 DEFAULT_CAMERA = dict(elev=25, azim=45)
 
@@ -33,39 +34,39 @@ def _fig_to_array(fig):
     return img
 
 
-def render_mesh(vert, face, resolution=(256, 256), camera=None, color="0.7"):
-    """Flat-shaded mesh render -> (H, W, 3) uint8."""
+def _camera_opt(camera, resolution, dist=3.0, height=2.6):
+    """(elev, azim) degrees -> orthographic camera dict for the rasterizer."""
     cam = dict(DEFAULT_CAMERA, **(camera or {}))
-    fig = plt.figure(figsize=(resolution[0] / 100, resolution[1] / 100),
-                     dpi=100)
-    ax = fig.add_subplot(111, projection="3d")
-    _setup_axis(ax)
-    ax.view_init(elev=cam["elev"], azim=cam["azim"])
+    el, az = np.radians(cam["elev"]), np.radians(cam["azim"])
+    pos = dist * np.array([np.cos(el) * np.cos(az),
+                           np.cos(el) * np.sin(az), np.sin(el)])
+    return dict(camPos=pos, camLookat=np.zeros(3),
+                camUp=np.array([0.0, 0.0, 1.0]),
+                camHeight=cam.get("height", height), resolution=resolution,
+                samples=cam.get("samples", 32))
+
+
+def render_mesh(vert, face, resolution=(256, 256), camera=None, color="0.7"):
+    """Flat-shaded mesh render -> (H, W, 3) uint8 (C++ rasterizer)."""
+    from .vis import fresnelvis
+    rgb = np.zeros(3) + float(color) if isinstance(color, str) else color
+    renderer = fresnelvis.FresnelRenderer(
+        camera_kwargs=_camera_opt(camera, resolution))
     if len(face):
-        tris = np.asarray(vert)[np.asarray(face)]
-        # cheap lambert shading on face normals
-        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-        n = n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-12)
-        light = np.array([0.5, 0.5, 0.7])
-        shade = 0.35 + 0.65 * np.abs(n @ light)
-        coll = Poly3DCollection(tris, linewidths=0)
-        coll.set_facecolor(plt.cm.gray(shade * 0.9))
-        ax.add_collection3d(coll)
-    return _fig_to_array(fig)
+        renderer.add_mesh(np.asarray(vert), np.asarray(face), color=rgb)
+    return renderer.render()
 
 
 def render_cloud(points, resolution=(256, 256), camera=None, s=1.0,
-                 color="#3465a4"):
-    cam = dict(DEFAULT_CAMERA, **(camera or {}))
-    fig = plt.figure(figsize=(resolution[0] / 100, resolution[1] / 100),
-                     dpi=100)
-    ax = fig.add_subplot(111, projection="3d")
-    _setup_axis(ax)
-    ax.view_init(elev=cam["elev"], azim=cam["azim"])
+                 color=None):
+    from .vis import fresnelvis
+    renderer = fresnelvis.FresnelRenderer(
+        camera_kwargs=_camera_opt(camera, resolution))
     p = np.asarray(points)
     if len(p):
-        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=s, c=color, linewidths=0)
-    return _fig_to_array(fig)
+        renderer.add_cloud(p, radius=0.008 * s,
+                           color=None if isinstance(color, str) else color)
+    return renderer.render()
 
 
 def render_voxel_indices(pos_ind, val_ind, depth=4, val_max=4096,
