@@ -1,0 +1,222 @@
+"""Checkpoint converter golden tests: the FULL reference VQDIF pipeline
+(encoder -> quantizer -> decoder, torch) vs this framework after
+convert.convert_vqdif_state_dict — the 'reconstructed occupancy grids match
+the PyTorch reference' fidelity requirement (BASELINE.md).
+
+The reference encoder needs torch_scatter (unavailable); a pure-torch
+scatter_reduce shim provides identical scatter_max/scatter_mean semantics.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference"
+
+
+def _install_torch_scatter_shim():
+    if "torch_scatter" in sys.modules:
+        return
+    ts = types.ModuleType("torch_scatter")
+
+    def _shape(src, index, dim, dim_size, out):
+        if out is not None:
+            size = list(out.shape)
+        else:
+            size = list(src.shape)
+            size[dim] = (dim_size if dim_size is not None
+                         else int(index.max()) + 1)
+        idx = index.expand_as(src) if index.shape != src.shape else index
+        return size, idx
+
+    def scatter_max(src, index, dim=-1, out=None, dim_size=None):
+        size, idx = _shape(src, index, dim, dim_size, out)
+        base = torch.full(size, float("-inf"), dtype=src.dtype)
+        o = base.scatter_reduce(dim, idx, src, reduce="amax",
+                                include_self=True)
+        o = torch.where(torch.isinf(o), torch.zeros_like(o), o)
+        return o, None
+
+    def scatter_mean(src, index, dim=-1, out=None, dim_size=None):
+        size, idx = _shape(src, index, dim, dim_size, out)
+        s = torch.zeros(size, dtype=src.dtype).scatter_reduce(
+            dim, idx, src, reduce="sum", include_self=True)
+        c = torch.zeros(size, dtype=src.dtype).scatter_reduce(
+            dim, idx, torch.ones_like(src), reduce="sum", include_self=True)
+        mean = s / c.clamp(min=1)
+        if out is not None:  # untouched cells keep out's (zero) values
+            mean = torch.where(c > 0, mean, out)
+        return mean
+
+    ts.scatter_max, ts.scatter_mean = scatter_max, scatter_mean
+    sys.modules["torch_scatter"] = ts
+
+
+@pytest.fixture(scope="module")
+def ref_vqdif():
+    _install_torch_scatter_shim()
+    sys.path.insert(0, REF_ROOT)
+    from shapeformer.models.vqdif.dec import LocalDecoder
+    from shapeformer.models.vqdif.enc import LocalPoolPointnet
+    from shapeformer.models.vqdif.quantizer import Quantizer
+
+    torch.manual_seed(0)
+    enc = LocalPoolPointnet(
+        c_dim=16, hidden_dim=16, plane_type="grid", grid_resolution=16,
+        downsampler=True,
+        downsampler_kwargs=dict(in_channels=16, downsample_steps=1))
+    quant = Quantizer(vocab_size=32, n_embd=32)
+    dec = LocalDecoder(
+        dim=3, c_dim=16, hidden_size=16, unet3d=True,
+        unet3d_kwargs=dict(num_levels=2, f_maps=32, in_channels=32,
+                           out_channels=32),
+        upsampler=True, upsampler_kwargs=dict(in_channels=32,
+                                              upsampler_steps=1))
+
+    class Wrap(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder, self.quantizer, self.decoder = enc, quant, dec
+
+    return Wrap().eval()
+
+
+@pytest.fixture(scope="module")
+def j_vqdif():
+    from shapeformer_tpu.models.vqdif.vqdif import VQDIF
+    return VQDIF(
+        encoder_opt={"class": "shapeformer.models.vqdif.enc.LocalPoolPointnet",
+                     "kwargs": dict(c_dim=16, hidden_dim=16, plane_type="grid",
+                                    grid_resolution=16, downsampler=True,
+                                    downsampler_kwargs=dict(
+                                        in_channels=16, downsample_steps=1))},
+        quantizer_opt={"class": "shapeformer.models.vqdif.quantizer.Quantizer",
+                       "kwargs": dict(vocab_size=32, n_embd=32)},
+        decoder_opt={"class": "shapeformer.models.vqdif.dec.LocalDecoder",
+                     "kwargs": dict(c_dim=16, hidden_size=16, unet3d=True,
+                                    unet3d_kwargs=dict(num_levels=2, f_maps=32,
+                                                       in_channels=32,
+                                                       out_channels=32),
+                                    upsampler=True,
+                                    upsampler_kwargs=dict(
+                                        in_channels=32, upsampler_steps=1))},
+        vq_beta=0.001)
+
+
+def test_converted_vqdif_matches_reference(ref_vqdif, j_vqdif, rng):
+    """encode -> quantize -> decode parity through the converter."""
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.convert import convert_vqdif_state_dict
+
+    variables = convert_vqdif_state_dict(ref_vqdif.state_dict())
+
+    B, N, M = 2, 512, 128
+    # cloud in [-0.5, 0.5] (the VQDIF-internal scale, vqdif.py:36)
+    cloud = rng.uniform(-0.45, 0.45, (B, N, 3)).astype(np.float32)
+    queries = rng.uniform(-0.45, 0.45, (B, M, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        grid_t, _ = _ref_encode(ref_vqdif.encoder, torch.from_numpy(cloud))
+        qfeat_t, _, ind_t, _ = ref_vqdif.quantizer(grid_t)
+        logits_t = ref_vqdif.decoder(torch.from_numpy(queries), qfeat_t)
+
+    # VQDIF.encode halves its input (vqdif.py:36); the torch encoder above
+    # consumed the [-0.5, 0.5] cloud directly, so feed 2x here
+    enc_out, mask = j_vqdif.apply(variables, jnp.asarray(cloud) * 2.0,
+                                  method=j_vqdif.encode)
+    # torch grid (B, C, s0, s1, s2) == canonical grid with spatial reversed
+    grid_j_as_t = np.transpose(np.asarray(enc_out), (0, 4, 3, 2, 1))
+    np.testing.assert_allclose(grid_j_as_t, grid_t.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+    encoded = j_vqdif.apply(variables, jnp.asarray(cloud) * 2.0,
+                            method=j_vqdif.encode_quant)
+    ind_j_as_t = np.transpose(np.asarray(encoded["quant_ind"]), (0, 3, 2, 1))
+    np.testing.assert_array_equal(ind_j_as_t, ind_t.numpy())
+
+    out = j_vqdif.apply(variables, encoded["quant_feat"],
+                        jnp.asarray(queries) * 2.0, method=j_vqdif.decode)
+    np.testing.assert_allclose(np.asarray(out["logits"]), logits_t.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def _ref_encode(encoder, cloud):
+    out = encoder(cloud)
+    if isinstance(out, tuple):
+        return out
+    return out, None
+
+
+def test_converted_shapeformer_roundtrip():
+    """convert_shapeformer_state_dict on a reference-shaped state dict
+    reproduces the golden-test transfer (same param tree)."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.convert import convert_shapeformer_state_dict
+    from shapeformer_tpu.models.shapeformer.transformer.mingpt import \
+        CondTupleGPT
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mingpt2",
+        f"{REF_ROOT}/shapeformer/models/shapeformer/transformer/mingpt.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    torch.manual_seed(3)
+    kw = dict(vocab_sizes=(9, 17), extra_vocab_sizes=(9,), block_size=16,
+              tuple_n=2, n_layers=(2, 1), n_head=2, n_embd=32)
+    tmodel = ref.CondTupleGPT(**kw, embd_pdrop=0.0, resid_pdrop=0.0,
+                              attn_pdrop=0.0).eval()
+
+    class Wrap(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.transformer = tmodel
+
+    variables = convert_shapeformer_state_dict(Wrap().state_dict())
+    jmodel = CondTupleGPT(**kw)
+    g = np.random.default_rng(5)
+    idx = g.integers(0, 9, (2, 8, 2)).astype(np.int64)
+    idx[..., 1] = g.integers(0, 17, (2, 8))
+    extra = g.integers(0, 9, (2, 8, 1)).astype(np.int64)
+    target = np.roll(idx, -1, axis=1)
+    with torch.no_grad():
+        want = [w.numpy() for w in tmodel(
+            torch.from_numpy(idx), torch.from_numpy(extra), L_cond=4,
+            target_idx=torch.from_numpy(target))]
+    got = jmodel.apply(variables, jnp.asarray(idx), jnp.asarray(extra), 4,
+                       jnp.asarray(target), deterministic=True)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=3e-4, atol=3e-4)
+
+
+def test_convert_checkpoint_cli_roundtrip(ref_vqdif, j_vqdif, tmp_path, rng):
+    """Lightning-style .ckpt -> convert_checkpoint -> orbax dir loadable by
+    restore_frozen_model (the representer's frozen-VQDIF source)."""
+    import jax.numpy as jnp
+
+    from shapeformer_tpu import convert as cv
+    from shapeformer_tpu.checkpoint import load_hyper_parameters, \
+        restore_checkpoint
+
+    hyper = dict(note="converted-from-reference")
+    ckpt = tmp_path / "ref_vqdif.ckpt"
+    torch.save({"state_dict": ref_vqdif.state_dict(),
+                "hyper_parameters": hyper}, str(ckpt))
+    out = cv.convert_checkpoint(str(ckpt), str(tmp_path / "checkpoints"),
+                                model="vqdif", epoch=7, val_loss=0.123)
+    assert "epoch007" in out
+    assert load_hyper_parameters(out)["note"] == "converted-from-reference"
+    variables = restore_checkpoint(out)
+    variables = {k: v for k, v in variables.items() if k in ("params", "vq")}
+    cloud = rng.uniform(-0.9, 0.9, (1, 256, 3)).astype(np.float32)
+    ind, mode, _ = j_vqdif.apply(
+        {k: jnp.asarray(v) if not isinstance(v, dict) else v
+         for k, v in variables.items()},
+        jnp.asarray(cloud), method=j_vqdif.quantize_cloud)
+    assert np.asarray(ind).shape == (1, 8, 8, 8)
