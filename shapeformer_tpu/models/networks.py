@@ -151,3 +151,229 @@ def split_context_target(x, y, num_context, num_extra_target, rng=None):
     ci = perm[:num_context]
     ti = perm[:num_context + num_extra_target]
     return x[:, ci], y[:, ci], x[:, ti], y[:, ti]
+
+
+class SoftPlus(nn.Module):
+    """softplus with sharpness beta (networks.py:319-326)."""
+    beta: float = 100.0
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.softplus(x * self.beta) / self.beta
+
+
+class SDFModule(nn.Module):
+    """8-layer softplus SDF MLP with a mid skip of the input
+    (networks.py:292-317; build_sdfnetwork:129-143)."""
+    input_dim: int = 3
+    latent_dim: int = 512
+    beta: float = 100.0
+
+    @nn.compact
+    def __call__(self, x):
+        sp = SoftPlus(self.beta)
+        h = sp(nn.Dense(self.latent_dim, name="l1")(x))
+        h = sp(nn.Dense(self.latent_dim, name="l2")(h))
+        h = sp(nn.Dense(self.latent_dim, name="l3")(h))
+        h = sp(nn.Dense(self.latent_dim - self.input_dim, name="l4")(h))
+        h = jnp.concatenate([h, x], axis=-1)
+        h = sp(nn.Dense(self.latent_dim, name="l5")(h))
+        h = sp(nn.Dense(self.latent_dim, name="l6")(h))
+        h = sp(nn.Dense(self.latent_dim, name="l7")(h))
+        return nn.Dense(1, name="l_out")(h)
+
+
+# 1x1-conv variant over (B, N, C) sequences (networks.py:257-290); with
+# channels-last layout a 1x1 Conv1d IS a Dense, so it shares SDFModule.
+CSDFModule = SDFModule
+
+
+def build_sdfnetwork(input_dim=3, init_radius=0.0):
+    """networks.py:129-143 (the geometric-init comments upstream are dead)."""
+    return SDFModule(input_dim=input_dim)
+
+
+class TensorModule(nn.Module):
+    """A bare learnable tensor (networks.py:203-214; the upstream class has a
+    broken __init__ spelling — semantics preserved, bug not)."""
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x=None):
+        return self.param(
+            "tensor",
+            lambda key, s: jax.random.normal(key, s) / sum(s), tuple(self.shape))
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample + optional 3x3 conv, 2D NHWC (networks.py:216-233)."""
+    in_channels: int
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(self.in_channels, (3, 3), padding="SAME",
+                        name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """stride-2 3x3 conv with the reference's asymmetric (0,1) pad, or 2x2
+    avg-pool (networks.py:235-255)."""
+    in_channels: int
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(self.in_channels, (3, 3), strides=(2, 2),
+                           padding="VALID", name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+# ------------------------------------------------ (A)NP attention variants
+class _NPAttention(nn.Module):
+    """Base of the per-type (A)NP attention modules (networks.py:457-511):
+    optional shared MLP representation of queries/keys, then attend()."""
+    rep: str = "mlp"
+    hidden_spec: Sequence[int] = (64, 64, 64)
+    normalize: bool = True
+
+    def represent(self, q_x, k_x):
+        if self.rep == "identity":
+            return q_x, k_x
+        q = MLP(tuple(self.hidden_spec), name="q_rep")(q_x)
+        k = MLP(tuple(self.hidden_spec), name="k_rep")(k_x)
+        return q, k
+
+    @nn.compact
+    def __call__(self, k_x, q_x, v):
+        """k_x (B, n, dx) context inputs, q_x (B, m, dx) targets, v (B, n, d)."""
+        q, k = self.represent(q_x, k_x)
+        return self.attend(q, k, v)
+
+
+class UniformAttentionModule(_NPAttention):
+    """Mean-pool aggregation (networks.py:513-529)."""
+
+    def attend(self, q, k, v):
+        rep = v.mean(axis=1, keepdims=True)
+        return jnp.broadcast_to(rep, (q.shape[0], q.shape[1], v.shape[-1]))
+
+
+class LaplaceAttentionModule(_NPAttention):
+    """L1-kernel attention (networks.py:535-564)."""
+    scale: float = 1.0
+
+    def attend(self, q, k, v):
+        w = -jnp.abs((k[:, None, :, :] - q[:, :, None, :]) / self.scale)
+        w = w.sum(axis=-1)                                  # (B, m, n)
+        w = (jax.nn.softmax(w, axis=-1) if self.normalize
+             else 1.0 + jnp.tanh(w))
+        return jnp.einsum("bmn,bnd->bmd", w, v)
+
+
+class DotProductAttentionModule(_NPAttention):
+    """Scaled dot-product attention (networks.py:566-592)."""
+
+    def attend(self, q, k, v):
+        w = jnp.einsum("bnk,bmk->bmn", k, q) / jnp.sqrt(q.shape[-1])
+        w = jax.nn.softmax(w, axis=-1) if self.normalize else nn.sigmoid(w)
+        return jnp.einsum("bmn,bnd->bmd", w, v)
+
+
+class MultiheadAttentionModule(_NPAttention):
+    """Multi-head dot-product variant (networks.py:603-644)."""
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, k_x, q_x, v):
+        q, k = self.represent(q_x, k_x)
+        d_v = v.shape[-1]
+        d_head = max(d_v // self.num_heads, 1)
+        out = 0.0
+        for h in range(self.num_heads):
+            qh = nn.Dense(d_head, use_bias=False, name=f"WqH{h}")(q)
+            kh = nn.Dense(d_head, use_bias=False, name=f"WkH{h}")(k)
+            vh = nn.Dense(d_head, use_bias=False, name=f"WvH{h}")(v)
+            w = jnp.einsum("bnk,bmk->bmn", kh, qh) / jnp.sqrt(d_head)
+            w = jax.nn.softmax(w, axis=-1)
+            o = jnp.einsum("bmn,bnd->bmd", w, vh)
+            out = out + nn.Dense(d_v, use_bias=False, name=f"WoH{h}")(o)
+        return out
+
+
+def get_attention(dim_x, dim_hidden, attentionType="uniform",
+                  attentionRep="mlp"):
+    """Factory (networks.py:646-666)."""
+    kw = dict(rep=attentionRep, hidden_spec=(dim_hidden,) * 3)
+    if attentionType == "uniform":
+        return UniformAttentionModule(**kw)
+    if attentionType == "laplace":
+        return LaplaceAttentionModule(**kw, scale=1.0)
+    if attentionType == "dot_product":
+        return DotProductAttentionModule(**kw)
+    if attentionType == "multihead":
+        return MultiheadAttentionModule(**kw, num_heads=8)
+    raise NameError(attentionType)
+
+
+class LatentEncoder(nn.Module):
+    """(A)NP latent encoder -> (mu, sigma) of the global latent
+    (networks.py:710-772); distributions stay explicit tuples in jax."""
+    spec: Sequence[int]
+    dim_latent: int
+
+    @nn.compact
+    def __call__(self, x, y):
+        h = MLP(tuple(self.spec), name="input_mlp")(
+            jnp.concatenate([x, y], axis=-1))
+        h = h.mean(axis=1)
+        h = MLP((self.spec[-1], self.spec[-1], 2 * self.dim_latent),
+                name="mu_sigma_mlp")(h)
+        mu = h[..., :self.dim_latent] * 0.1
+        sigma = 0.01 + 0.99 * nn.sigmoid(h[..., self.dim_latent:])
+        return mu, sigma
+
+
+class Decoder(nn.Module):
+    """(A)NP decoder -> per-target (mu, sigma) (networks.py:773-845; the
+    upstream class is syntactically dead — forward nested inside __init__,
+    undefined names — re-implemented to its evident intent)."""
+    dim_hidden: int
+    dim_out: int = 1
+    min_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, representation, target_x):
+        h = MLP((self.dim_hidden, self.dim_hidden), name="mlp")(
+            jnp.concatenate([target_x, representation], axis=-1))
+        mu = MLP((self.dim_hidden,) * 2 + (self.dim_out,), name="mu_mlp")(h)
+        log_sigma = MLP((self.dim_hidden,) * 2 + (self.dim_out,),
+                        name="std_mlp")(h)
+        sigma = self.min_std + (1 - self.min_std) * nn.softplus(log_sigma)
+        return mu, sigma
+
+
+class ImplicitDecoder(nn.Module):
+    """Conditioned implicit decoder: concat(latent, query) -> ImplicitModule
+    (networks.py:846-921)."""
+    dim_latent: int
+    dim_out: int = 1
+    latent_dim: int = 512
+    activation: str = "softplus"
+
+    @nn.compact
+    def __call__(self, representation, target_x):
+        if representation.ndim == 2:
+            representation = jnp.broadcast_to(
+                representation[:, None, :],
+                (target_x.shape[0], target_x.shape[1],
+                 representation.shape[-1]))
+        x = jnp.concatenate([target_x, representation], axis=-1)
+        return ImplicitModule(hidden=self.latent_dim, out_dim=self.dim_out,
+                              name="net")(x)

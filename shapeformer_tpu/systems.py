@@ -45,8 +45,10 @@ class VQDIFSystem:
         self.hyper_parameters = dict(pl_model_opt.get("kwargs", {}))
         self.model: VQDIF = _config.instantiate_from_opt(pl_model_opt)
         optim_opt = self.model.optim_opt or {"lr": 1e-4, "scheduler": "None"}
-        self.tx = optax.adam(step_lr_schedule(float(optim_opt["lr"]),
-                                              optim_opt, steps_per_epoch))
+        sched = step_lr_schedule(float(optim_opt["lr"]), optim_opt,
+                                 steps_per_epoch)
+        self._lr = sched if callable(sched) else (lambda step: sched)
+        self.tx = optax.adam(sched)
         self.mesh = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -89,6 +91,7 @@ class VQDIFSystem:
         params = optax.apply_updates(state["params"], updates)
         new_state = dict(params=params, vq=new_vq, opt_state=opt_state,
                          step=state["step"] + 1)
+        losses = dict(losses, lr=self._lr(state["step"]))
         return new_state, losses
 
     def _eval_step_impl(self, state, batch):
@@ -127,6 +130,7 @@ class ShapeFormerSystem:
                               steps_per_epoch)
         # minGPT split (shapeformer.py:158-207): weight decay only on Dense
         # kernels; biases, LayerNorm scales, embeddings, pos embs are exempt.
+        self._lr = lr if callable(lr) else (lambda step: lr)
         self.tx = optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01,
                               mask=self._decay_mask)
         self.mesh = None
@@ -164,7 +168,7 @@ class ShapeFormerSystem:
         params = {"params": optax.apply_updates(inner, updates)}
         new_state = dict(params=params, opt_state=opt_state,
                          step=state["step"] + 1)
-        return new_state, dict(loss=loss)
+        return new_state, dict(loss=loss, lr=self._lr(state["step"]))
 
     def _eval_step_impl(self, state, batch, rng, vqdif_vars):
         loss = self.model.loss(state["params"], batch, rng=rng, stage="val",

@@ -192,3 +192,43 @@ def test_signed_distance_sphere(rng):
     assert sd[0] < 0 and sd[2] < 0 and sd[1] > 0
     assert abs(-sd[0] - 0.6) < 0.08
     assert abs(sd[1] - (np.sqrt(3) * 0.9 - 0.6)) < 0.08
+
+
+def test_network_zoo_instantiates():
+    """Legacy network zoo (networks.py row 23): every class builds and runs
+    with consistent shapes (the reference's own Decoder/TensorModule are
+    syntactically dead upstream; re-implemented to intent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.models import networks as nw
+
+    r = jax.random.PRNGKey(0)
+    x = jax.random.normal(r, (2, 10, 3))
+    y = jax.random.normal(r, (2, 10, 1))
+    tq = jax.random.normal(r, (2, 5, 3))
+
+    sdf = nw.build_sdfnetwork()
+    assert sdf.apply(sdf.init(r, tq), tq).shape == (2, 5, 1)
+    tm = nw.TensorModule(shape=(4, 4))
+    assert tm.apply(tm.init(r)).shape == (4, 4)
+    img = jax.random.normal(r, (1, 8, 8, 6))
+    up = nw.Upsample(6)
+    assert up.apply(up.init(r, img), img).shape == (1, 16, 16, 6)
+    dn = nw.Downsample(6)
+    assert dn.apply(dn.init(r, img), img).shape == (1, 4, 4, 6)
+    assert nw.Downsample(6, with_conv=False).apply(
+        {"params": {}}, img).shape == (1, 4, 4, 6)
+    for t in ("uniform", "laplace", "dot_product", "multihead"):
+        att = nw.get_attention(3, 16, attentionType=t)
+        out = att.apply(att.init(r, x, tq, y), x, tq, y)
+        assert out.shape[:2] == (2, 5), (t, out.shape)
+    le = nw.LatentEncoder(spec=(16, 16), dim_latent=8)
+    mu, sigma = le.apply(le.init(r, x, y), x, y)
+    assert mu.shape == (2, 8) and float(jnp.min(sigma)) > 0
+    rep = jax.random.normal(r, (2, 5, 8))
+    dec = nw.Decoder(dim_hidden=16)
+    m, s = dec.apply(dec.init(r, rep, tq), rep, tq)
+    assert m.shape == (2, 5, 1) and float(jnp.min(s)) >= dec.min_std
+    idec = nw.ImplicitDecoder(dim_latent=8, latent_dim=32)
+    assert idec.apply(idec.init(r, rep, tq), rep, tq).shape == (2, 5, 1)

@@ -145,3 +145,15 @@ def test_train_dp_mesh(in_ws):
         records = [line for line in f if line.strip()]
     assert records, "no metrics logged in mesh mode"
     assert os.path.isdir(os.path.join(exp, "logs/tb")), "tensorboard dir missing"
+
+
+@pytest.mark.e2e
+def test_debug_model_smoke(in_ws):
+    """plutil.debug_model: one train/val step + every callback, no training
+    loop (the reference's interactive whole-pipeline check, plutil.py:301-339)."""
+    from shapeformer_tpu.trainer import Trainer
+    from shapeformer_tpu.utils import plutil
+
+    tr = Trainer("configs/synthetic/vqdif_synth.yaml", mode="train")
+    system, state = plutil.debug_model(tr, skip_batch_test=False)
+    assert state is not None and system is not None
