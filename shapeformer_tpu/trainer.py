@@ -135,7 +135,18 @@ class Trainer:
 
     def _build_system(self, steps_per_epoch=1000):
         if self.system is None:
-            self.system = build_system(self._pl_model_opt, steps_per_epoch)
+            opt = self._pl_model_opt
+            if (not self.trainer_opt.get("disable_auto_lr_scale", True)
+                    and self.num_devices > 1):
+                # reference lr x num_gpus rescale (trainer.py:52-56)
+                import copy
+                opt = copy.deepcopy(opt)
+                optim = opt.get("kwargs", {}).get("optim_opt")
+                if optim and "lr" in optim:
+                    optim["lr"] = float(optim["lr"]) * self.num_devices
+                    print(f"[trainer] auto lr scale: x{self.num_devices} "
+                          f"-> {optim['lr']}")
+            self.system = build_system(opt, steps_per_epoch)
         return self.system
 
     def load_callbacks(self):

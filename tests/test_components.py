@@ -232,3 +232,54 @@ def test_network_zoo_instantiates():
     assert m.shape == (2, 5, 1) and float(jnp.min(s)) >= dec.min_std
     idec = nw.ImplicitDecoder(dim_latent=8, latent_dim=32)
     assert idec.apply(idec.init(r, rep, tq), rep, tq).shape == (2, 5, 1)
+
+
+def test_conv_onet_remnants():
+    """ConvONet remnant package (row 38): decoders, model wrapper, trainer
+    factories build and step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shapeformer_tpu.models.vqdif.conv_onet import config as co_config
+    from shapeformer_tpu.models.vqdif.conv_onet import models as co_models
+
+    r = jax.random.PRNGKey(0)
+    B, N, M, C = 2, 64, 32, 8
+
+    # LocalPointDecoder: kernel-weighted point features
+    lpd = co_models.LocalPointDecoder(c_dim=C, hidden_size=16, n_blocks=2,
+                                      gaussian_val=0.2)
+    q = jax.random.uniform(r, (B, M, 3))
+    pts = jax.random.uniform(r, (B, N, 3))
+    fea = jax.random.normal(r, (B, N, C))
+    out = lpd.apply(lpd.init(r, q, (pts, fea)), q, (pts, fea))
+    assert out.shape == (B, M)
+
+    # PatchLocalDecoder: grid + plane feature sampling
+    pld = co_models.PatchLocalDecoder(c_dim=C, hidden_size=16, n_blocks=2)
+    p = {"p": q, "p_n": {"grid": jax.random.uniform(r, (B, M, 3)),
+                         "xz": jax.random.uniform(r, (B, M, 2))}}
+    planes = {"grid": jax.random.normal(r, (B, 5, 5, 5, C)),
+              "xz": jax.random.normal(r, (B, 6, 6, C))}
+    out = pld.apply(pld.init(r, p, planes), p, planes)
+    assert out.shape == (B, M)
+
+    # full model + trainer step via the config factories
+    cfg = {"model": {"decoder_opt": {
+        "class": "shapeformer_tpu.models.vqdif.conv_onet.models"
+                 ".LocalPointDecoder",
+        "kwargs": dict(c_dim=0, hidden_size=16, n_blocks=2)}},
+        "training": {}, "test": {}}
+    model = co_config.get_model(cfg)
+    trainer = co_config.get_trainer(model, None, cfg)
+    data = {"points": np.random.rand(B, M, 3).astype(np.float32),
+            "inputs": np.zeros((B, 1, 3), np.float32),
+            "points.occ": np.random.randint(0, 2, (B, M)).astype(np.float32),
+            "points_iou": np.random.rand(B, M, 3).astype(np.float32),
+            "points_iou.occ": np.random.randint(0, 2, (B, M)).astype(np.float32)}
+    state = trainer.create_state(r, data)
+    state, loss = trainer.train_step(state, data)
+    assert np.isfinite(loss)
+    metrics = trainer.eval_step(state, data)
+    assert 0.0 <= metrics["iou"] <= 1.0
