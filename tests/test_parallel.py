@@ -73,6 +73,7 @@ def test_vqdif_dp_step():
     import optax
     system.model = vqdif
     system.hyper_parameters = {}
+    system._lr = lambda step: 1e-3   # lr metric hook (systems.py train step)
     system.tx = optax.adam(1e-3)
     rng = jax.random.PRNGKey(0)
     B = 8
