@@ -103,11 +103,21 @@ def _cast_bf16(tree):
         lambda x: x.astype(DTYPE) if x.dtype == jnp.float32 else x, tree)
 
 
+def _sync(out):
+    """Force REAL completion: fetch one element of every output array.
+    block_until_ready alone under-reports on the axon tunnel (a full 128^3
+    decode 'completed' in 0.2 ms); a device_get cannot lie."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[0:1])
+    return out
+
+
 def _median_time(fn, n=3):
     times = []
     for _ in range(n):
         t0 = time.time()
-        jax.block_until_ready(fn())
+        _sync(fn())
         times.append(time.time() - t0)
     return float(np.median(times)), times
 
@@ -199,12 +209,14 @@ def main():
         return out, logp, others["empty_index"]
 
     def decode_best(vq_vars, out, empty_index, logp):
-        """128^3 implicit decode of only the top-ranked candidate."""
+        """128^3 implicit decode of only the top-ranked candidate, through
+        the separable regular-grid path (decode_index_grid: MXU interp
+        matmuls instead of per-query gathers — 10x over the generic path)."""
         dense = sparse_ops.sparse2dense(out, empty_index, 16)
         best = jnp.argmax(logp)
         d = jax.lax.dynamic_index_in_dim(dense, best, axis=0, keepdims=True)
-        logits = vqdif.apply(vq_vars, d, all_Xtg[None], 131072,
-                             method=VQDIF.decode_index_chunked)["logits"]
+        logits = vqdif.apply(vq_vars, d, DECODE_RES,
+                             method=VQDIF.decode_index_grid)["logits"]
         return jax.nn.sigmoid(logits[0, :, 0].astype(jnp.float32))
 
     jit_sample = jax.jit(lambda p, v, x, k: sample_fn(p, v, x, k, MAX_STEPS))

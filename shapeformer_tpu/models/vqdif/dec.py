@@ -65,7 +65,58 @@ class LocalDecoder(nn.Module):
         """Implicit MLP at query points (B, M, 3) in [-0.5, 0.5] -> (B, M, 1)."""
         p_nor = normalize_3d_coordinate(p, padding=self.padding)
         c = trilinear_sample(c_grid_processed, p_nor.astype(self.dtype))
-        net = self.fc_p(p.astype(self.dtype))
+        return self._mlp(p.astype(self.dtype), c)
+
+    def _mlp(self, p, c):
+        net = self.fc_p(p)
+        for i in range(self.n_blocks):
+            if self.c_dim != 0:
+                net = net + self.fc_c[i](c)
+            net = self.blocks[i](net)
+        act = (lambda x: nn.leaky_relu(x, 0.2)) if self.leaky else nn.relu
+        return self.fc_out(act(net))
+
+    # ------------------------------------------------- dense regular queries
+    def query_grid(self, c_grid_processed, axes):
+        """query() for a REGULAR query grid — the meshing path.
+
+        axes: three 1D coordinate arrays (x (Rx,), y (Ry,), z (Rz,)) in
+        [-0.5, 0.5]; the queries are their cartesian product in canonical
+        (x, y, z) scan order.  Trilinear sampling on a regular grid is
+        separable, so the per-query gathers (the generic path's bottleneck —
+        ~130 ns/query gather-bound on v5e) become three small dense interp
+        matmuls on the MXU; fc_p over the product grid is a rank-1 sum.
+        Returns (B, Rx*Ry*Rz, 1) logits matching query().
+        """
+        g = c_grid_processed
+        outs = []
+        for d, ax in enumerate(axes):
+            R_in = g.shape[1 + d]
+            f = normalize_3d_coordinate(ax, padding=self.padding) * (R_in - 1)
+            raw = jnp.floor(f).astype(jnp.int32)
+            w = (f - raw).astype(self.dtype)
+            i0 = jnp.clip(raw, 0, R_in - 1)
+            i1 = jnp.clip(raw + 1, 0, R_in - 1)
+            eye = jnp.eye(R_in, dtype=self.dtype)
+            W = (eye[i0] * (1 - w)[:, None] + eye[i1] * w[:, None])  # (R, R_in)
+            outs.append(W)
+        Wx, Wy, Wz = outs
+        g = jnp.einsum("rx,bxyzc->bryzc", Wx, g)
+        g = jnp.einsum("sy,bryzc->brszc", Wy, g)
+        c = jnp.einsum("tz,brszc->brstc", Wz, g)
+        B = c.shape[0]
+        Rx, Ry, Rz = (a.shape[0] for a in axes)
+        c = c.reshape(B, Rx * Ry * Rz, c.shape[-1])
+        # fc_p over the product grid: p @ W + b separates into per-axis
+        # rank-1 contributions
+        kern = self.fc_p.variables["params"]["kernel"].astype(self.dtype)
+        bias = self.fc_p.variables["params"]["bias"].astype(self.dtype)
+        px = jnp.outer(axes[0].astype(self.dtype), kern[0])  # (Rx, H)
+        py = jnp.outer(axes[1].astype(self.dtype), kern[1])
+        pz = jnp.outer(axes[2].astype(self.dtype), kern[2])
+        net = (px[:, None, None, :] + py[None, :, None, :]
+               + pz[None, None, :, :] + bias).reshape(1, Rx * Ry * Rz, -1)
+        net = jnp.broadcast_to(net, (B,) + net.shape[1:])
         for i in range(self.n_blocks):
             if self.c_dim != 0:
                 net = net + self.fc_c[i](c)

@@ -79,6 +79,17 @@ class VQDIF(nn.Module):
         quant_feat = self.quantizer.get_code(code_ind)
         return self.decode(quant_feat, Xtg)
 
+    def decode_index_grid(self, code_ind, out_res: int, bbox=(-1.0, 1.0)):
+        """decode_index for the standard REGULAR query grid (makeGrid over the
+        bbox, 'ij' indexing) — the meshing path.  Uses the decoder's separable
+        query_grid (MXU interp matmuls instead of per-query gathers); returns
+        {'logits': (B, out_res^3, 1)} in the same scan order as makeGrid."""
+        quant_feat = self.quantizer.get_code(code_ind)
+        processed = self.decoder.process_grid(quant_feat)
+        ax = jnp.linspace(bbox[0], bbox[1], out_res) / 2.0   # [-1,1] -> [-.5,.5]
+        logits = self.decoder.query_grid(processed, (ax, ax, ax))
+        return dict(logits=logits)
+
     def decode_index_chunked(self, code_ind, Xtg, chunk: int = 65536):
         """decode_index for huge query sets: conv trunk once, then lax.map
         over fixed-size query tiles (M must be divisible by chunk)."""

@@ -19,6 +19,7 @@ for any batch size.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,16 +72,26 @@ def sparse2dense(seq, empty_ind, reso: int):
 
     Inverse of dense2sparse; end/invalid tokens are ignored
     (batch_sparse2dense, common.py:171-189).
+
+    TPU note: implemented as a one-hot matmul (MXU) instead of an index
+    scatter — XLA serializes duplicate-capable scatters on TPU (a (8, 406)
+    scatter cost ~0.18 s on v5e; the matmul is sub-millisecond).  Values are
+    exact in f32 (codebook ids << 2^24); duplicate positions sum, but
+    dense2sparse never emits duplicates.
     """
     B, L, _ = seq.shape
     n_cells = reso ** 3
     pos, val = seq[..., 0], seq[..., 1]
     valid = (pos >= 0) & (pos < n_cells)
-    tgt = jnp.where(valid, pos, n_cells)                     # scratch cell
-    dense = jnp.full((B, n_cells + 1), jnp.int32(0)) + jnp.asarray(empty_ind, jnp.int32)
-    dense = dense.at[jnp.arange(B)[:, None], tgt].set(
-        jnp.where(valid, val, jnp.asarray(empty_ind, jnp.int32)))
-    return dense[:, :n_cells].reshape(B, reso, reso, reso)
+    safe_pos = jnp.where(valid, pos, 0)
+    onehot = jax.nn.one_hot(safe_pos, n_cells, dtype=jnp.float32)
+    onehot = onehot * valid[..., None].astype(jnp.float32)   # (B, L, cells)
+    summed = jnp.einsum("blc,bl->bc", onehot,
+                        jnp.where(valid, val, 0).astype(jnp.float32))
+    occupied = jnp.einsum("blc->bc", onehot) > 0.5
+    empty = jnp.broadcast_to(jnp.asarray(empty_ind, jnp.float32), (B,))
+    dense = jnp.where(occupied, summed, empty[:, None])
+    return jnp.round(dense).astype(jnp.int32).reshape(B, reso, reso, reso)
 
 
 def _is_end(seq, end_tokens):

@@ -145,3 +145,37 @@ def test_train_step_improves_loss(model_and_vars):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_decode_index_grid_matches_chunked(rng):
+    """Separable regular-grid decode == generic per-query decode on the same
+    makeGrid queries (the meshing fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.models.vqdif.vqdif import VQDIF
+    from shapeformer_tpu.utils.nputil import makeGrid
+
+    vqdif = VQDIF(
+        encoder_opt={"class": "shapeformer_tpu.models.vqdif.enc"
+                              ".LocalPoolPointnet",
+                     "kwargs": dict(c_dim=8, hidden_dim=8, grid_resolution=8,
+                                    downsampler=False)},
+        quantizer_opt={"class": "shapeformer_tpu.models.vqdif.quantizer"
+                                ".Quantizer",
+                       "kwargs": dict(vocab_size=16, n_embd=8)},
+        decoder_opt={"class": "shapeformer_tpu.models.vqdif.dec.LocalDecoder",
+                     "kwargs": dict(c_dim=8, hidden_size=8)})
+    key = jax.random.PRNGKey(0)
+    cloud = jax.random.uniform(key, (1, 128, 3), minval=-0.8, maxval=0.8)
+    variables = vqdif.init(key, cloud, cloud[:, :32])
+    code = jax.random.randint(key, (2, 8, 8, 8), 0, 16)
+    R = 16
+    Xtg = jnp.asarray(makeGrid([-1, -1, -1.0], [1.0, 1, 1], [R] * 3,
+                               indexing="ij").astype(np.float32))
+    Xtg = jnp.broadcast_to(Xtg[None], (2,) + Xtg.shape)
+    want = vqdif.apply(variables, code, Xtg, R ** 3,
+                       method=VQDIF.decode_index_chunked)["logits"]
+    got = vqdif.apply(variables, code, R, method=VQDIF.decode_index_grid)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
