@@ -200,12 +200,13 @@ def main():
                                    indexing="ij").astype(np.float32))
 
     def sample_fn(params, vq_vars, Xct, key, max_steps):
-        """Encode partial cloud, sample SAMPLE_N candidates (KV-cached AR)."""
+        """Encode partial cloud, sample SAMPLE_N candidates (KV-cached AR;
+        the condition prefills ONCE and its caches are tiled)."""
         c, _, _, others = rep.get_indices(Xct=Xct, stage="test",
                                           vqdif_vars=vq_vars)
-        c_exp = jnp.broadcast_to(c, (SAMPLE_N,) + c.shape[1:])
-        out, _, logp = sf.sample(params, c_exp, key, max_steps=max_steps,
-                                 top_k=TOP_K, top_p=TOP_P, best_in_first=True)
+        out, _, logp = sf.sample(params, c, key, max_steps=max_steps,
+                                 top_k=TOP_K, top_p=TOP_P, best_in_first=True,
+                                 candidates=SAMPLE_N)
         return out, logp, others["empty_index"]
 
     def decode_best(vq_vars, out, empty_index, logp):
@@ -305,9 +306,9 @@ def main():
     def sample_batched(params, vq_vars, Xcts, key):
         c, _, _, others = rep.get_indices(Xct=Xcts, stage="test",
                                           vqdif_vars=vq_vars)
-        c_exp = jnp.repeat(c, SAMPLE_N, axis=0)          # (S*SAMPLE_N, L, 2)
-        out, _, logp = sf.sample(params, c_exp, key, max_steps=MAX_STEPS,
-                                 top_k=TOP_K, top_p=TOP_P)
+        out, _, logp = sf.sample(params, c, key, max_steps=MAX_STEPS,
+                                 top_k=TOP_K, top_p=TOP_P,
+                                 candidates=SAMPLE_N)
         return out, logp, others["empty_index"]
 
     jit_batched = jax.jit(sample_batched)

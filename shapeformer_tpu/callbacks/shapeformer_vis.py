@@ -65,12 +65,22 @@ class VisShapeFormer(VisCallback):
         def sample_fn(params, vqdif_vars, Xct, rng):
             c, _, _, others = rep.get_indices(Xct=Xct, stage="test",
                                               vqdif_vars=vqdif_vars)
-            c_exp = shard_candidates(
-                jnp.broadcast_to(c, (self.sample_n,) + c.shape[1:]))
-            out, raw, logp = model.sample(
-                params, c_exp, rng, max_steps=self.sample_max_step,
-                top_k=self.top_k, top_p=self.top_p,
-                temperature=self.temperature, best_in_first=True)
+            if mesh is None:
+                # single device: prefill once, tile the caches to sample_n
+                out, raw, logp = model.sample(
+                    params, c, rng, max_steps=self.sample_max_step,
+                    top_k=self.top_k, top_p=self.top_p,
+                    temperature=self.temperature, best_in_first=True,
+                    candidates=self.sample_n)
+            else:
+                # mesh: expand up front so the candidate batch carries an
+                # explicit 'data' sharding through sampling
+                c_exp = shard_candidates(
+                    jnp.broadcast_to(c, (self.sample_n,) + c.shape[1:]))
+                out, raw, logp = model.sample(
+                    params, c_exp, rng, max_steps=self.sample_max_step,
+                    top_k=self.top_k, top_p=self.top_p,
+                    temperature=self.temperature, best_in_first=True)
             return out, raw, logp, c, others["empty_index"]
 
         vqdif = rep.vqdif_model

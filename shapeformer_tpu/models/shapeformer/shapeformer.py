@@ -112,7 +112,8 @@ class ShapeFormer:
     # --------------------------------------------------------------- sampling
     def sample_indices(self, params, c_indices, rng, max_steps: int = 512,
                        top_k: int = 100, top_p: float = 0.8,
-                       temperature: float = 1.0, best_in_first: bool = False):
+                       temperature: float = 1.0, best_in_first: bool = False,
+                       candidates: int = 1):
         """KV-cached AR sampling (semantics of shapeformer.py:55-123).
 
         c_indices: (B, max_length, tuple_n) padded condition tokens (in input
@@ -124,6 +125,11 @@ class ShapeFormer:
         later element i from decode_stage_i fed the freshly sampled element
         i-1 (the reference generator's .send() protocol for 2-tuples,
         generalized to e.g. AU's (z, y, x, val) 4-tuples).
+
+        candidates > 1 draws that many independent samples PER condition row:
+        the condition prefill runs once per row and the KV caches are tiled
+        afterwards (the reference expands the condition batch up front,
+        shapeformer.py:229, paying candidates x prefill).
         """
         tf, rep = self.transformer, self.representer
         B, L_c, _ = c_indices.shape
@@ -143,6 +149,16 @@ class ShapeFormer:
         caches, h0, logits0 = tf.apply(
             params, c_indices, extra_c, L_c, cond_valid,
             method=type(tf).prefill)
+
+        if candidates > 1:
+            # tile the per-row prefill results to B * candidates sample rows
+            def tile(x, axis):
+                return jnp.repeat(x, candidates, axis=axis)
+            caches = [(tile(k, 1), tile(v, 1)) for k, v in caches]
+            h0, logits0 = tile(h0, 0), tile(logits0, 0)
+            cond_pos = tile(cond_pos, 0)
+            cond_valid_blk = tile(cond_valid_blk, 0)
+            B = B * candidates
 
         def key_valid_upto(index):
             gen = (arange_blk >= L_c) & (arange_blk <= index)

@@ -299,3 +299,18 @@ def test_fp8_kv_cache_decode(model_params, rep):
     a, b = np.asarray(lg0_f32), np.asarray(lg0_fp8)
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.12, f"fp8 cache drift {rel}"
+
+
+def test_candidates_tiled_prefill_matches_expanded(model_params):
+    """sample(candidates=K) on a single condition row == sample on the
+    K-times pre-expanded condition (same rng -> identical tokens)."""
+    sf, params = model_params
+    c = make_seq([[0, 3, 6]], [[5, 2, 9]])
+    key = jax.random.PRNGKey(11)
+    kw = dict(max_steps=6, top_k=4, top_p=0.9)
+    out_t, raw_t, logp_t = sf.sample(params, c, key, candidates=4, **kw)
+    c_exp = jnp.broadcast_to(c, (4,) + c.shape[1:])
+    out_e, raw_e, logp_e = sf.sample(params, c_exp, key, **kw)
+    np.testing.assert_array_equal(np.asarray(raw_t), np.asarray(raw_e))
+    np.testing.assert_allclose(np.asarray(logp_t), np.asarray(logp_e),
+                               rtol=1e-4, atol=1e-4)
