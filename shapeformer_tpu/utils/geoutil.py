@@ -22,20 +22,34 @@ from .native import marching_tets
 # ------------------------------------------------------------------- meshing
 def array2mesh(array, thresh: float = 0.0, dim: int = 3, coords=None,
                bbox=None, if_decimate: bool = False, decimate_face: int = 4096,
-               cart_coord: bool = True, gaussian_sigma=None):
+               cart_coord: bool = True, gaussian_sigma=None, method=None):
     """1-D occupancy/SDF array (r^3,) -> (verts, faces) in the coords' bbox.
 
     Mirrors geoutil.array2mesh: reshape to a cube, extract the iso-surface,
-    rescale vertices from grid-index coords into the bounding box.
-    (Decimation is a no-op: the reference only decimates via igl when a mesh
-    exceeds decimate_face, purely as an export-size optimization.)
+    rescale vertices from grid-index coords into the bounding box, and (like
+    the reference's igl.decimate call, xgutils/geoutil.py:228) decimate to
+    `decimate_face` faces when asked.  `method` picks the extractor:
+    "surface_nets" (default; native/surface_nets.cpp — ~half the triangles
+    of the tet mesher), "surface_nets_jax" (the device-resident field pass in
+    ops/surface_nets.py), or "tets" (native/marching_tets.cpp) —
+    overridable via $SFTPU_MESHER.
     """
     assert dim == 3, "only 3D meshing is supported"
     from .nputil import array2NDCube
     grid = array2NDCube(np.asarray(array, np.float32), N=3)
-    verts, faces = marching_tets(grid, iso=float(thresh))
+    method = method or os.environ.get("SFTPU_MESHER", "surface_nets")
+    if method == "surface_nets":
+        from .native import surface_nets
+        verts, faces = surface_nets(grid, iso=float(thresh))
+    elif method == "surface_nets_jax":
+        from ..ops.surface_nets import surface_nets
+        verts, faces = surface_nets(grid, iso=float(thresh))
+    else:
+        verts, faces = marching_tets(grid, iso=float(thresh))
+    if if_decimate and len(faces) > decimate_face:
+        verts, faces = decimate(verts, faces, decimate_face)
     if verts.shape[0] == 0:
-        return verts, faces
+        return verts.reshape(0, 3).astype(np.float32), faces.reshape(0, 3)
     verts = verts / (grid.shape[0] - 1)
     if coords is not None:
         coords = np.asarray(coords)
@@ -47,6 +61,18 @@ def array2mesh(array, thresh: float = 0.0, dim: int = 3, coords=None,
         bbmin, bbmax = bb[0], bb[1]
     verts = verts * (bbmax - bbmin) + bbmin
     return verts.astype(np.float32), faces.astype(np.int64)
+
+
+def decimate(vert, face, target_faces: int = 4096):
+    """Quadric edge-collapse simplification to ~target_faces triangles.
+
+    Real counterpart of the reference's igl.decimate call
+    (xgutils/geoutil.py:228) on the first-party QEM kernel
+    (native/decimate.cpp)."""
+    from .native import decimate_qem
+    if len(face) <= target_faces:
+        return (np.asarray(vert, np.float32), np.asarray(face, np.int64))
+    return decimate_qem(vert, face, target_faces)
 
 
 def sampleMesh(vert, face, sampleN: int, rng=None):

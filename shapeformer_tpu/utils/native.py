@@ -79,3 +79,89 @@ def marching_tets(grid: np.ndarray, iso: float = 0.5):
         lib.mt_free(vp)
         lib.mt_free(fp)
     return verts, faces
+
+
+# ------------------------------------------------------------- QEM decimation
+def _dq_lib():
+    lib = load("decimate", ["decimate.cpp"])
+    if not getattr(lib, "_configured", False):
+        lib.decimate_qem.restype = ctypes.c_int
+        lib.decimate_qem.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.dq_free.argtypes = [ctypes.c_void_p]
+        lib._configured = True
+    return lib
+
+
+def decimate_qem(verts: np.ndarray, faces: np.ndarray, target_faces: int):
+    """Quadric edge-collapse simplification (native/decimate.cpp) down to
+    ~target_faces triangles; returns (verts (V,3) f32, faces (F,3) i64)."""
+    lib = _dq_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float32)
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_int64)()
+    nv, nf = ctypes.c_int64(0), ctypes.c_int64(0)
+    rc = lib.decimate_qem(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+        int(target_faces),
+        ctypes.byref(vp), ctypes.byref(fp), ctypes.byref(nv), ctypes.byref(nf))
+    if rc != 0:
+        raise MemoryError("decimate_qem allocation failed")
+    try:
+        out_v = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy() \
+            if nv.value else np.zeros((0, 3), np.float32)
+        out_f = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy() \
+            if nf.value else np.zeros((0, 3), np.int64)
+    finally:
+        lib.dq_free(vp)
+        lib.dq_free(fp)
+    return out_v, out_f
+
+
+# ------------------------------------------------------------- surface nets
+def _sn_lib():
+    lib = load("surface_nets", ["surface_nets.cpp"])
+    if not getattr(lib, "_configured", False):
+        lib.surface_nets.restype = ctypes.c_int
+        lib.surface_nets.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.sn_free.argtypes = [ctypes.c_void_p]
+        lib._configured = True
+    return lib
+
+
+def surface_nets(grid: np.ndarray, iso: float = 0.5):
+    """Naive-surface-nets isosurface (native/surface_nets.cpp): one vertex
+    per sign-mixed cell, ~half the triangles of marching_tets.  Returns
+    (verts (V,3) float32 in grid-index coords, faces (F,3) int64)."""
+    lib = _sn_lib()
+    grid = np.ascontiguousarray(grid, dtype=np.float32)
+    assert grid.ndim == 3
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_int64)()
+    nv, nf = ctypes.c_int64(0), ctypes.c_int64(0)
+    rc = lib.surface_nets(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        grid.shape[0], grid.shape[1], grid.shape[2], ctypes.c_float(iso),
+        ctypes.byref(vp), ctypes.byref(fp), ctypes.byref(nv), ctypes.byref(nf))
+    if rc != 0:
+        raise MemoryError("surface_nets allocation failed")
+    try:
+        verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy() \
+            if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy() \
+            if nf.value else np.zeros((0, 3), np.int64)
+    finally:
+        lib.sn_free(vp)
+        lib.sn_free(fp)
+    return verts, faces

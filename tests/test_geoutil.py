@@ -80,3 +80,52 @@ def test_mesh_volume_occupancy(sphere_mesh, rng):
     q = np.array([[0, 0, 0], [0.9, 0.9, 0.9], [0.3, 0, 0], [0, 0.7, 0]])
     occ = geoutil.mesh_volume_occupancy(vert, face, q)
     assert occ.tolist() == [1, 0, 1, 0]
+
+
+def test_surface_nets_variants_match(sphere_mesh):
+    """C++ surface nets (the array2mesh default) == the device-resident jax
+    field pass (ops/surface_nets.py), and both are watertight and accurate."""
+    n = 48
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n, n, n]).reshape(n, n, n, 3)
+    sdf = (0.6 - np.linalg.norm(g, axis=-1)).astype(np.float32)
+    from shapeformer_tpu.utils.native import surface_nets as sn_cpp
+    from shapeformer_tpu.ops.surface_nets import surface_nets as sn_jax
+    v1, f1 = sn_cpp(sdf, 0.0)
+    v2, f2 = sn_jax(sdf, 0.0, pack=False)
+    assert v1.shape == v2.shape and f1.shape == f2.shape
+    np.testing.assert_allclose(np.sort(v1, axis=0), np.sort(v2, axis=0),
+                               atol=1e-5)
+    vert = v1 / (n - 1) * 2 - 1
+    r = np.linalg.norm(vert, axis=1)
+    np.testing.assert_allclose(r, 0.6, atol=0.03)
+    # watertight + outward orientation (positive signed volume)
+    edges = np.concatenate([f1[:, [0, 1]], f1[:, [1, 2]], f1[:, [2, 0]]])
+    _, counts = np.unique(np.sort(edges, axis=1), axis=0, return_counts=True)
+    assert (counts == 2).all()
+    a, b, c = vert[f1[:, 0]], vert[f1[:, 1]], vert[f1[:, 2]]
+    vol = np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6
+    assert abs(vol - 4 / 3 * np.pi * 0.6 ** 3) / (4 / 3 * np.pi * 0.6 ** 3) < 0.05
+
+
+def test_decimate_qem(sphere_mesh):
+    """QEM edge collapse hits the target count and preserves the geometry."""
+    vert, face = sphere_mesh
+    target = 1500
+    dv, df = geoutil.decimate(vert, face, target)
+    assert len(df) <= target and len(df) > target * 0.5
+    r = np.linalg.norm(dv, axis=1)
+    np.testing.assert_allclose(r, 0.6, atol=0.05)
+    a, b, c = dv[df[:, 0]], dv[df[:, 1]], dv[df[:, 2]]
+    vol = np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6
+    assert abs(vol - 4 / 3 * np.pi * 0.216) / (4 / 3 * np.pi * 0.216) < 0.05
+    # still watertight
+    edges = np.concatenate([df[:, [0, 1]], df[:, [1, 2]], df[:, [2, 0]]])
+    _, counts = np.unique(np.sort(edges, axis=1), axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # array2mesh wires it through if_decimate
+    n = 48
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n, n, n]).reshape(n, n, n, 3)
+    sdf = 0.6 - np.linalg.norm(g, axis=-1)
+    v, f = geoutil.array2mesh(sdf.reshape(-1), thresh=0.0, if_decimate=True,
+                              decimate_face=1000)
+    assert len(f) <= 1000
