@@ -102,6 +102,10 @@ class ShapeFormer:
         logits = self.compute_logits(params, c, z, extra, rng=tok_rng,
                                      deterministic=(stage != "train"))
         w = sparse_ops.token_mask(z, self.end_tokens)
+        if batch.get("batch_mask") is not None:
+            # rows duplicated by dp batch padding carry weight 0
+            # (systems._mesh_batch)
+            w = w * batch["batch_mask"][:, None]
         total = 0.0
         for i, lg in enumerate(logits):
             logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
@@ -154,7 +158,8 @@ class ShapeFormer:
             # tile the per-row prefill results to B * candidates sample rows
             def tile(x, axis):
                 return jnp.repeat(x, candidates, axis=axis)
-            caches = [(tile(k, 1), tile(v, 1)) for k, v in caches]
+            caches = [[(tile(k, 0), tile(v, 0)) for k, v in stage]
+                      for stage in caches]
             h0, logits0 = tile(h0, 0), tile(logits0, 0)
             cond_pos = tile(cond_pos, 0)
             cond_valid_blk = tile(cond_valid_blk, 0)

@@ -73,28 +73,53 @@ class CausalSelfAttention(nn.Module):
         y = self._attend(q, k, v, mask, deterministic)
         return self.resid_drop(self.proj(y), deterministic=deterministic), (k, v)
 
-    def decode(self, x_new, cache_k, cache_v, li, index, key_valid):
-        """Single-position decode against the full-stage cache.
+    def decode(self, x_new, cache_k, cache_v, index, key_valid):
+        """Single-position decode against this layer's cache.
 
-        x_new: (B, 1, C); cache_k/v: (n_layers, B, T_max, H, D) whole-stage
-        caches (updated in place at (li, :, index) — a single
-        dynamic_update_slice per array, which XLA aliases inside the sampling
-        while_loop instead of re-materializing the cache like the previous
-        per-layer unstack/stack did); li: static layer index; index: scalar
-        write position; key_valid: (B, T_max) bool of attendable positions
-        (already includes causality: only positions <= index are valid).
+        x_new: (B, 1, C); cache_k/v: (B, T_max, C) PER-LAYER caches — heads
+        UNSPLIT, channel minor.  Three v5e profiling findings shaped this:
+        (1) a stacked (n_layers, B, T, H, D) cache made XLA materialize an
+        async DMA copy of every per-layer slice each step plus a whole-stage
+        copy (~1.0 ms/step of pure data movement at B=8); (2) any layout
+        with the 64-wide head dim minormost pads the (8,128) memory tiling
+        2x, and XLA lowers the Tq=1 per-head einsum to a slow VPU
+        multiply+reduce (40 us/layer vs ~8 us stream time); (3) XLA
+        re-normalizes layouts, so logical transposes don't stick.  The fix:
+        keep C=H*D minor (dense lanes) and make attention REAL matmuls via
+        block-diagonal queries — q is placed into a (B, H, C) block matrix
+        so 'bhc,btc->bht' contracts the full channel dim on the MXU (the
+        16x redundant FLOPs are ~0.06 ms/step, noise next to the HBM
+        stream), and att.V is a plain 'bht,btc->bhc' whose head block is
+        extracted afterwards.  index: scalar write position; key_valid:
+        (B, T_max) bool of attendable positions (already includes causality:
+        only positions <= index are valid).
         Returns (y (B,1,C), cache_k, cache_v).
         """
+        B, _, C = x_new.shape
+        H = self.n_head
+        D = C // H
         qkv = self.qkv(x_new)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, self.n_head) for t in (q, k, v))
+        q, k, v = jnp.split(qkv, 3, axis=-1)                 # (B, 1, C) each
         cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k[None].astype(cache_k.dtype), (li, 0, index, 0, 0))
+            cache_k, k.astype(cache_k.dtype), (0, index, 0))
         cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v[None].astype(cache_v.dtype), (li, 0, index, 0, 0))
-        mask = key_valid[:, None, None, :]
-        y = self._attend(q, cache_k[li].astype(q.dtype),
-                         cache_v[li].astype(q.dtype), mask, deterministic=True)
+            cache_v, v.astype(cache_v.dtype), (0, index, 0))
+        T_cache = cache_k.shape[1]
+        if key_valid.shape[-1] < T_cache:   # alignment tail of the cache
+            key_valid = jnp.pad(key_valid,
+                                ((0, 0), (0, T_cache - key_valid.shape[-1])))
+        scale = jnp.asarray(1.0 / jnp.sqrt(jnp.float32(D)), self.dtype)
+        eye = jnp.eye(H, dtype=self.dtype)
+        qh = q.reshape(B, H, D) * scale
+        qb = (qh[:, :, None, :] * eye[None, :, :, None]).reshape(B, H, C)
+        att = jnp.einsum("bhc,btc->bht", qb, cache_k.astype(self.dtype))
+        att = jnp.where(key_valid[:, None, :], att,
+                        jnp.asarray(NEG_INF, att.dtype))
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1
+                             ).astype(self.dtype)
+        ybig = jnp.einsum("bht,btc->bhc", att, cache_v.astype(self.dtype))
+        y = jnp.einsum("bhgd,hg->bhd", ybig.reshape(B, H, H, D), eye)
+        y = y.reshape(B, 1, C)
         return self.proj(y), cache_k, cache_v
 
 
@@ -131,9 +156,9 @@ class Block(nn.Module):
         x = x + a
         return x + self._mlp(self.ln2(x), deterministic), kv
 
-    def decode(self, x_new, cache_k, cache_v, li, index, key_valid):
+    def decode(self, x_new, cache_k, cache_v, index, key_valid):
         a, ck, cv = self.attn.decode(self.ln1(x_new), cache_k, cache_v,
-                                     li, index, key_valid)
+                                     index, key_valid)
         x = x_new + a
         return x + self._mlp(self.ln2(x), True), ck, cv
 
@@ -260,12 +285,23 @@ class CondTupleGPT(nn.Module):
         return logits
 
     # ----------------------------------------------------------------- decode
+    @property
+    def cache_block(self) -> int:
+        """Cache T extent: block_size rounded up to an 8 multiple so the
+        (sublane, lane) tiling of the (B, T, C) caches has no partial
+        sublane rows; the tail is key-masked."""
+        return -(-self.block_size // 8) * 8
+
     def init_cache(self, B: int):
-        """Zeroed (k, v) caches: per stage a (n_layers, B, block, H, Dh) pair."""
-        Dh = self.n_embd // self.n_head
+        """Zeroed (k, v) caches: per stage, a LIST over layers of
+        (B, cache_block, C) pairs — heads unsplit, channel minor.  Separate
+        per-layer arrays (not a stacked (n_layers, ...) tensor) — see
+        CausalSelfAttention.decode for the measured costs of the stacked /
+        head-split variants."""
         return [
-            (jnp.zeros((n, B, self.block_size, self.n_head, Dh), self.cache_dtype),
-             jnp.zeros((n, B, self.block_size, self.n_head, Dh), self.cache_dtype))
+            [(jnp.zeros((B, self.cache_block, self.n_embd), self.cache_dtype),
+              jnp.zeros((B, self.cache_block, self.n_embd), self.cache_dtype))
+             for _ in range(n)]
             for n in self.n_layers]
 
     def prefill(self, idx, extra_idx, L_cond: int, key_valid):
@@ -280,21 +316,21 @@ class CondTupleGPT(nn.Module):
         B, P, _ = idx.shape
         x = self.get_embeddings(idx, extra_idx, L_cond)
         mask = self._attn_mask(P, key_valid)
-        caches = self.init_cache(B)
 
-        def pad_kv(k):  # (B, P, H, D) -> (B, block, H, D)
-            return jnp.pad(k, ((0, 0), (0, self.block_size - P), (0, 0), (0, 0))
+        def pad_kv(k):  # (B, P, H, D) -> (B, cache_block, C) decode layout
+            kf = k.reshape(B, P, -1)                   # undo _split_heads
+            return jnp.pad(kf, ((0, 0), (0, self.cache_block - P), (0, 0))
                            ).astype(self.cache_dtype)
 
+        caches = []
         h_last = None
         logits0_last = None
         for i in range(self.tuple_n):
-            ks, vs = [], []
+            layer_caches = []
             for blk in self.stages[i]:
                 x, (k, v) = blk(x, mask, True)
-                ks.append(pad_kv(k))
-                vs.append(pad_kv(v))
-            caches[i] = (jnp.stack(ks), jnp.stack(vs))
+                layer_caches.append((pad_kv(k), pad_kv(v)))
+            caches.append(layer_caches)
             if i == 0:
                 h_last = x[:, -1, :]
                 logits0_last = self.heads[0](x[:, -1:, :])[:, 0, :]
@@ -316,11 +352,12 @@ class CondTupleGPT(nn.Module):
         tuple_n).  Returns (logits_i (B, V_i), h_i (B, C), caches).
         """
         x = (h_prev + self.tok_embs[stage_i - 1](prev_elem))[:, None, :]
-        ck, cv = caches[stage_i]
-        for li, blk in enumerate(self.stages[stage_i]):
-            x, ck, cv = blk.decode(x, ck, cv, li, index, key_valid)
+        layer_caches = []
+        for blk, (ck, cv) in zip(self.stages[stage_i], caches[stage_i]):
+            x, ck, cv = blk.decode(x, ck, cv, index, key_valid)
+            layer_caches.append((ck, cv))
         caches = list(caches)
-        caches[stage_i] = (ck, cv)
+        caches[stage_i] = layer_caches
         return self.heads[stage_i](x)[:, 0, :], x[:, 0, :], caches
 
     def decode_stage1(self, caches, h0, pos_token, index, key_valid):
@@ -343,10 +380,11 @@ class CondTupleGPT(nn.Module):
         if self.no_pos_emb:
             pos = pos * 0.0
         x = (tok + extra)[:, None, :] + pos[None].astype(self.dtype)
-        ck, cv = caches[0]
-        for li, blk in enumerate(self.stages[0]):
-            x, ck, cv = blk.decode(x, ck, cv, li, index, key_valid)
-        caches = [(ck, cv)] + list(caches[1:])
+        layer_caches = []
+        for blk, (ck, cv) in zip(self.stages[0], caches[0]):
+            x, ck, cv = blk.decode(x, ck, cv, index, key_valid)
+            layer_caches.append((ck, cv))
+        caches = [layer_caches] + list(caches[1:])
         return caches, x[:, 0, :], self.heads[0](x)[:, 0, :]
 
 

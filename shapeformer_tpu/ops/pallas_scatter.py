@@ -76,6 +76,11 @@ def segmented_scan(vals, seg_start, mode: str = "max", reverse: bool = False,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    out_dtype = vals.dtype
+    if vals.dtype.itemsize < 4:
+        # mosaic's dynamic_rotate handles 32-bit lanes only (bf16 encoder
+        # features would fail to compile); scan in f32, cast back after
+        vals = vals.astype(jnp.float32)
     B, N, C = vals.shape
     flat = vals.reshape(B * N, C)
     flags = seg_start.reshape(B * N, 1).astype(jnp.int32)
@@ -109,4 +114,4 @@ def segmented_scan(vals, seg_start, mode: str = "max", reverse: bool = False,
     out = out[:rows]
     if reverse:
         out = out[::-1]
-    return out.reshape(B, N, C)
+    return out.reshape(B, N, C).astype(out_dtype)

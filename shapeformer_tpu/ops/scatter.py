@@ -96,6 +96,66 @@ def _seg_scan(vals, seg_start, mode: str, reverse: bool = False):
     return out
 
 
+_PALLAS_OK = None
+
+
+def _pallas_default() -> bool:
+    """Pallas scan is the DEFAULT on TPU (it wins the bench microbench),
+    gated by a one-time on-device correctness check at first call; the env
+    flag is kept as an override (SFTPU_PALLAS_SCATTER=0 opt-out / =1 force)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        env = os.environ.get("SFTPU_PALLAS_SCATTER", "")
+        if env in ("0", "1"):
+            _PALLAS_OK = env == "1"
+        elif jax.default_backend() != "tpu":
+            _PALLAS_OK = False
+        else:
+            def _check():
+                global _PALLAS_OK
+                try:
+                    key = jax.random.PRNGKey(0)
+                    # realistic lane width: narrow C (<32) hits unsupported
+                    # mosaic sub-word rotates
+                    ids = jax.random.randint(key, (2, 512), 0, 64)
+                    c = jax.random.normal(key, (2, 512, 32), jnp.float32)
+                    plan = jax.jit(pool_plan)(ids)
+                    ok = True
+                    for mode in ("max", "mean"):
+                        for dt in (jnp.float32, jnp.bfloat16):  # prod is bf16
+                            cd = c.astype(dt)
+                            a = jax.jit(lambda c, p, m=mode: pooled_gather(
+                                c, p, m, use_pallas=True))(cd, plan)
+                            b = jax.jit(lambda c, p, m=mode: pooled_gather(
+                                c, p, m, use_pallas=False))(cd, plan)
+                            ok &= bool(jnp.allclose(
+                                a.astype(jnp.float32), b.astype(jnp.float32),
+                                atol=1e-2, rtol=1e-2))
+                    _PALLAS_OK = ok
+                    if not ok:
+                        print("[scatter] pallas scan FAILED the on-TPU "
+                              "correctness check; falling back to XLA scan")
+                except Exception as e:
+                    print(f"[scatter] pallas scan unavailable "
+                          f"({type(e).__name__}: {e}); using XLA scan")
+                    _PALLAS_OK = False
+            try:
+                # usually reached while TRACING the encoder, where nothing
+                # can run eagerly (omnistaging) — run the one-time check on
+                # a fresh thread, whose trace state is clean
+                import threading
+                th = threading.Thread(target=_check)
+                th.start()
+                th.join()
+                if _PALLAS_OK is None:
+                    _PALLAS_OK = False
+            except Exception as e:
+                print(f"[scatter] pallas scan unavailable "
+                      f"({type(e).__name__}: {e}); using XLA scan")
+                _PALLAS_OK = False
+    return _PALLAS_OK
+
+
 def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     """Fused {scatter_max|scatter_mean} + gather_cells.
 
@@ -105,7 +165,7 @@ def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     without materializing the (B, n_cells, C) dense grid.
     """
     if use_pallas is None:
-        use_pallas = os.environ.get("SFTPU_PALLAS_SCATTER", "0") == "1"
+        use_pallas = _pallas_default()
     cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
     seg_start = plan["seg_start"]
     # end flags for the reverse scan: end[i] = start[i+1] (last row is an end)
