@@ -106,6 +106,11 @@ class VisShapeFormer(VisCallback):
         rng = jax.random.PRNGKey(abs(hash(input_name)) % (2 ** 31))
         out, raw, logp, c, empty_index = self._sample_jit(
             params, vqdif_vars, jnp.asarray(batch["Xct"]), rng)
+        # observability for the multi-device inference path (tests assert on
+        # these after a --mode run --gpus 0..n invocation)
+        self.last_sample_devices = len(getattr(
+            out.sharding, "device_set", {None}))
+        self.last_candidates_sharded = not out.sharding.is_fully_replicated
         logits = self._decode_jit(vqdif_vars, out, empty_index)
         return dict(samples=np.asarray(out), origin_samples=np.asarray(raw),
                     log_prob=np.asarray(logp), c_ind=np.asarray(c),

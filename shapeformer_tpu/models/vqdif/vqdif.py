@@ -117,12 +117,23 @@ class VQDIF(nn.Module):
                     grid_mask=grid_mask)
 
 
-def vq_loss(logits, label, quant_diff=None, beta: float = 1.0):
-    """BCE-with-logits + beta * commitment difference (VQLoss, vqdif.py:151-167)."""
+def vq_loss(logits, label, quant_diff=None, beta: float = 1.0,
+            batch_mask=None):
+    """BCE-with-logits + beta * commitment difference (VQLoss, vqdif.py:151-167).
+
+    batch_mask: optional (B,) 0/1 weights — rows duplicated by the dp batch
+    padding (systems._mesh_batch) carry weight 0 so they don't bias the loss.
+    """
     logits = logits.astype(jnp.float32)
     label = label.astype(jnp.float32)
-    bce = jnp.mean(jnp.maximum(logits, 0) - logits * label
-                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    per = (jnp.maximum(logits, 0) - logits * label
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    if batch_mask is not None:
+        w = batch_mask.astype(jnp.float32).reshape(
+            (-1,) + (1,) * (per.ndim - 1))
+        bce = (per * w).sum() / jnp.maximum((jnp.ones_like(per) * w).sum(), 1.0)
+    else:
+        bce = jnp.mean(per)
     losses = dict(recon_loss=bce)
     if quant_diff is not None:
         losses["diff_loss"] = quant_diff

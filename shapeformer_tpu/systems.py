@@ -79,7 +79,8 @@ class VQDIFSystem:
                                batch["Xtg"], train=train,
                                mutable=["vq"] if train else [])
         losses = vq_loss(out["logits"], batch["Ytg"], out["quant_diff"],
-                         beta=model.vq_beta)
+                         beta=model.vq_beta,
+                         batch_mask=batch.get("batch_mask"))
         return losses["loss"], (losses, upd.get("vq", vq))
 
     def _train_step_impl(self, state, batch):
@@ -205,16 +206,41 @@ def _filter_batch(batch):
 
 def _mesh_batch(batch, mesh):
     """Pad every array's batch dim to a multiple of the mesh 'data' axis
-    (repeating trailing rows), keeping shapes static for pjit."""
+    (repeating trailing rows), keeping shapes static for pjit.
+
+    A 'batch_mask' (B,) float array marks real rows 1 / padded duplicates 0;
+    the loss functions weight per-sample terms by it so padding never biases
+    metrics or gradients.  Caveat: the VQ EMA codebook statistics are computed
+    inside model.apply over all rows, so a padded row still contributes its
+    (duplicate) cell counts there — bounded by (dp-1)/batch and zero whenever
+    the global batch divides the data axis."""
     dp = mesh.shape["data"]
     out = {}
+    b0 = None
     for k, v in _filter_batch(batch).items():
         v = np.asarray(v)
-        if v.ndim >= 1 and v.shape[0] % dp != 0:
-            pad = dp - v.shape[0] % dp
-            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+        if v.ndim >= 1:
+            b0 = v.shape[0] if b0 is None else b0
+            if v.shape[0] % dp != 0:
+                pad = dp - v.shape[0] % dp
+                v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
         out[k] = v
+    if b0 is not None:
+        padded = b0 + (-b0) % dp
+        out["batch_mask"] = (np.arange(padded) < b0).astype(np.float32)
     return out
+
+
+def attach_mesh_inference(system, state, mesh):
+    """Place a (restored) state on the mesh for test/run modes (VERDICT r2
+    #3): params/optimizer leaves follow their Megatron specs, callbacks key
+    candidate sharding off system.mesh (callbacks/shapeformer_vis.py:55-63),
+    and the jitted eval/sample fns follow their input shardings — no step
+    re-jit needed.  Mirrors the reference's per-rank eval sharding intent
+    (xgutils/plutil.py:123-139)."""
+    from .parallel import sharding as shd
+    system.mesh = mesh
+    return jax.device_put(state, shd.state_spec(state, mesh))
 
 
 def _device_batch(batch, mesh=None):
