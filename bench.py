@@ -308,17 +308,15 @@ def main():
         f"{[round(t, 3) for t in intervals]} -> median {steady_s:.3f}s/shape")
 
     # ------------------------------- batched-shapes serving throughput extra
-    # Completing S shapes per sampling call amortizes the per-step weight
-    # stream S-fold (the reference completes one shape at a time); this is
-    # the framework's high-throughput serving mode.
+    # ShapeFormer.complete_many: S shapes per sampling call amortizes the
+    # per-step weight stream S-fold (the reference completes one shape at a
+    # time); this is the framework's high-throughput serving mode.
     S = 4
     def sample_batched(params, vq_vars, Xcts, key):
-        c, _, _, others = rep.get_indices(Xct=Xcts, stage="test",
-                                          vqdif_vars=vq_vars)
-        out, _, logp = sf.sample(params, c, key, max_steps=MAX_STEPS,
-                                 top_k=TOP_K, top_p=TOP_P,
-                                 candidates=SAMPLE_N)
-        return out, logp, others["empty_index"]
+        res = sf.complete_many(params, Xcts, key, vqdif_vars=vq_vars,
+                               candidates=SAMPLE_N, max_steps=MAX_STEPS,
+                               top_k=TOP_K, top_p=TOP_P)
+        return res["tokens"], res["log_prob"], res["empty_index"]
 
     jit_batched = jax.jit(sample_batched)
     Xcts = jnp.concatenate([Xct] * S, axis=0)

