@@ -34,7 +34,10 @@ class Generator3D:
         self.points_batch_size = int(points_batch_size)
         self.threshold = threshold
         self.resolution = resolution0 * (2 ** upsampling_steps)
+        self.refinement_step = int(refinement_step or 0)
+        self.simplify_nfaces = simplify_nfaces
         self._eval = None
+        self._refine = {}
 
     def _build(self, grid_feat_shape):
         res = self.resolution
@@ -67,6 +70,52 @@ class Generator3D:
             self._build(grid_feat.shape)
         return self._eval(self.variables, grid_feat)
 
+    def refine_vertices(self, vert, grid_feat, steps=None, eps=1e-8):
+        """Gradient refinement (reference generation.py:454-474): project
+        each vertex onto the decoder's iso-surface with Newton steps along
+        the field gradient, v <- v - (f(v) - logit(tau)) * grad / |grad|^2.
+
+        The reference runs an Adam loop over vertex positions with a normal-
+        alignment term; Newton projection reaches the same fixed point
+        (f(v) = logit(tau)) in 2-3 steps on device with no optimizer state.
+        """
+        steps = self.refinement_step if steps is None else int(steps)
+        if steps <= 0 or len(vert) == 0:
+            return np.asarray(vert, np.float32)
+        tau = min(max(float(self.threshold), 1e-5), 1 - 1e-5)
+        logit_tau = float(np.log(tau / (1.0 - tau)))
+        M = len(vert)
+        pad = (-M) % 4096
+        pts = np.concatenate([np.asarray(vert, np.float32),
+                              np.zeros((pad, 3), np.float32)])
+        key = (pts.shape[0], steps)
+        if key not in self._refine:
+            def run(variables, grid_feat, pts):
+                processed = self.model.apply(
+                    variables, grid_feat,
+                    method=lambda m, g: m.decoder.process_grid(g))
+
+                def field_sum(p):
+                    lg = self.model.apply(
+                        variables, p[None] / 2.0, processed,
+                        method=lambda m, q, g: m.decoder.query(q, g))
+                    lg = lg.reshape(-1).astype(jnp.float32)
+                    return lg.sum(), lg
+
+                def body(p, _):
+                    (_, lg), g = jax.value_and_grad(
+                        field_sum, has_aux=True)(p)
+                    denom = (g * g).sum(-1, keepdims=True) + eps
+                    p = p - (lg - logit_tau)[:, None] * g / denom
+                    return jnp.clip(p, -1.0, 1.0), None
+
+                p, _ = jax.lax.scan(body, pts, None, length=steps)
+                return p
+            self._refine[key] = jax.jit(run)
+        out = np.asarray(self._refine[key](self.variables, grid_feat,
+                                           jnp.asarray(pts)))
+        return out[:M]
+
     def generate_mesh(self, batch, return_stats=True):
         from ..vqdif import VQDIF
         t0 = time.time()
@@ -77,6 +126,11 @@ class Generator3D:
         occ = sigmoid(logits)
         vert, face = geoutil.array2mesh(occ, thresh=self.threshold,
                                         coords=self._coords)
+        if self.simplify_nfaces:    # QEM edge collapse (ref :414-416)
+            vert, face = geoutil.decimate(vert, face,
+                                          int(self.simplify_nfaces))
+        if self.refinement_step > 0:   # iso-surface projection (ref :454-474)
+            vert = self.refine_vertices(vert, encoded["quant_feat"])
         stats = {"time (generate)": time.time() - t0,
                  "resolution": self.resolution,
                  "n_faces": int(len(face))}
