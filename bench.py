@@ -255,13 +255,17 @@ def main():
     occ_np = (np.asarray(occ).astype(np.float32) / 255.0).reshape(
         DECODE_RES, DECODE_RES, DECODE_RES)
     mesh_ts = []
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.time()
         vert, face = geoutil.array2mesh(occ_np.reshape(-1), thresh=0.5,
                                         coords=np.asarray(all_Xtg))
         mesh_ts.append(time.time() - t0)
-    mesh_s = float(np.median(mesh_ts))
-    log(f"mesh times: {[round(t, 3) for t in mesh_ts]}")
+    # the first runs pay one-time costs (extractor .so dlopen, allocator
+    # growth to ~1M-face arrays, cold page cache) that no steady-state shape
+    # pays — drop them from the estimate
+    mesh_s = float(np.median(mesh_ts[2:]))
+    log(f"mesh times: {[round(t, 3) for t in mesh_ts]} "
+        f"(median of warm runs {mesh_s:.3f}s)")
     ar_s = max(sample_s - probe_s, 0.0)
     latency_s = sample_s + decode_s + mesh_s
     log(f"phases: tokenize+prefill {probe_s:.3f}s | AR loop ({MAX_STEPS} "
@@ -304,8 +308,10 @@ def main():
     done_t.append(time.time())
     intervals = np.diff([t0] + done_t)
     steady_s = float(np.median(intervals))
+    max_interval_s = float(np.max(intervals))
     log(f"pipelined intervals over {PIPELINE_SHAPES} shapes: "
-        f"{[round(t, 3) for t in intervals]} -> median {steady_s:.3f}s/shape")
+        f"{[round(t, 3) for t in intervals]} -> median {steady_s:.3f}s/shape "
+        f"(max {max_interval_s:.3f}s)")
 
     # ------------------------------- batched-shapes serving throughput extra
     # ShapeFormer.complete_many: S shapes per sampling call amortizes the
@@ -335,6 +341,7 @@ def main():
                          "ar_loop_s": round(ar_s, 4),
                          "decode_s": round(decode_s, 4),
                          "mesh_s": round(mesh_s, 4),
+                         "max_interval_s": round(max_interval_s, 4),
                          "sequential_latency_s": round(latency_s, 4),
                          "batched4_sample_s_per_shape": round(batched_s / S, 4)}}
     print(json.dumps(result))
