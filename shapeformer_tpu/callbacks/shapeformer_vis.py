@@ -102,6 +102,14 @@ class VisShapeFormer(VisCallback):
         if self._sample_jit is None:
             self._build()
         params = self.state["params"]
+        mesh = getattr(self.system, "mesh", None)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # tensor-parallel serving: Megatron-shard the transformer weights
+            # over 'model' so every AR step streams 1/tp of the weight bytes
+            # per chip (the per-step weight read is the decode loop's dominant
+            # cost); XLA inserts the proj/fc2 psums over ICI.
+            from ..parallel import state_spec
+            params = jax.device_put(params, state_spec(params, mesh))
         vqdif_vars = self.system.vqdif_vars
         rng = jax.random.PRNGKey(abs(hash(input_name)) % (2 ** 31))
         out, raw, logp, c, empty_index = self._sample_jit(

@@ -176,3 +176,41 @@ def test_completion_callback_candidate_sharding(tmp_path):
     assert computed["samples"].shape[0] == 4
     assert computed["decoded_logits"].shape == (4, 16 ** 3, 1)
     assert np.isfinite(computed["log_prob"]).all()
+
+
+def test_completion_callback_tensor_parallel(tmp_path):
+    """Tensor-parallel serving: under a ('data','model') mesh the callback
+    Megatron-shards the transformer weights over 'model' (each chip streams
+    1/tp of the weight bytes per AR step) and, with argmax sampling (top_k=1),
+    emits the same tokens as the dp-only path."""
+    import jax
+    import numpy as np
+    import __graft_entry__ as ge
+    from shapeformer_tpu.callbacks.shapeformer_vis import VisShapeFormer
+    from shapeformer_tpu.parallel import make_mesh
+
+    vqdif, sf = ge._build_models(voxel_res=4, grid_res=8, vocab=32,
+                                 vq_dim=32, n_embd=32, n_layers=(1, 1),
+                                 n_head=2, block_size=34)
+    params, vq_vars = ge._init_all(vqdif, sf, n_pts=256)
+    batch = {"Xct": np.random.default_rng(0).uniform(
+        -0.8, 0.8, (1, 256, 3)).astype(np.float32)}
+
+    def run(mesh, sub):
+        class SystemShim:
+            model = sf
+            vqdif_vars = vq_vars
+        SystemShim.mesh = mesh
+        cb = VisShapeFormer(sample_n=4, top_k=1, top_p=1.0, depth=2,
+                            decode_res=16, sample_max_step=4,
+                            end_tokens=(64, 32),
+                            data_dir=str(tmp_path / sub))
+        cb.system = SystemShim()
+        cb.state = {"params": params}
+        return cb.compute_batch(batch, input_name="t")
+
+    ref = run(make_mesh(4), "dp")
+    got = run(make_mesh(8, tp=2), "tp")
+    np.testing.assert_array_equal(got["samples"], ref["samples"])
+    np.testing.assert_allclose(got["log_prob"], ref["log_prob"],
+                               rtol=1e-4, atol=1e-4)
