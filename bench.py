@@ -274,6 +274,14 @@ def main():
         f"({len(vert)} verts, {len(face)} faces)")
     log(f"sequential latency: {latency_s:.3f}s  (sample times "
         f"{[round(t, 3) for t in sample_ts]})")
+    # Per-step breakdown from the on-TPU v5e trace of the jitted loop (cache
+    # redesign, commit d4d54a4): mandatory int8 weight stream ~0.40 ms +
+    # fp8 KV-cache read ~0.26 ms; the rest is fusion-dispatch overhead
+    # (~8 us/fusion, ~48 LayerNorms alone ~0.38 ms).  Pallas in-loop was
+    # measured and rejected (layout copies at the kernel boundary).
+    log(f"AR step: {ar_s / MAX_STEPS * 1e3:.2f} ms/step x {SAMPLE_N} cand "
+        f"(HBM floor ~0.66 ms: int8 weights 0.40 + fp8 KV 0.26; "
+        f"remainder is fusion dispatch)")
 
     # ------------------------------------- steady-state pipelined throughput
     # Host meshing of shape i overlaps device work of shape i+1 (the mesher
@@ -291,7 +299,12 @@ def main():
 
     # Per-shape completion intervals; the single host core's speed swings
     # several-fold with machine noise, so the steady-state estimate is the
-    # MEDIAN interval, not the mean.
+    # MEDIAN interval, not the mean.  One untimed warmup shape first: the
+    # first post-compile sample pays one-time allocator/donation costs and
+    # has no pipeline overlap yet, neither of which any steady-state shape
+    # repays.
+    warm = launch(-1)
+    mesh_job(np.asarray(warm))
     done_t = []
     occ_fut = launch(0)
     t0 = time.time()
