@@ -173,12 +173,12 @@ class ShapeFormer:
             [jnp.full((B, max_gen), e, jnp.int32) for e in ends], axis=-1)
 
         def pick(key, masked):
-            tok, _ = sampling_ops.sample_logits(
+            # compressed top-k sampling: Gumbel/argmax/log-norm on (B, k)
+            # instead of (B, V) — measured 0.40 ms/step of full-vocab
+            # elementwise ops at flagship size (ops/sampling.sample_ranked)
+            return sampling_ops.sample_ranked(
                 key, masked, top_k=top_k, top_p=top_p,
-                temperature=temperature)
-            if best_in_first:
-                tok = tok.at[0].set(jnp.argmax(masked[0]).astype(jnp.int32))
-            return tok, sampling_ops.log_prob_of(masked, tok)
+                temperature=temperature, best_in_first=best_in_first)
 
         def body(state):
             (caches, h0, logits0, buf, prev_token, prev_sum, j, logp,

@@ -246,3 +246,41 @@ def test_log_prob_of():
     logits = jnp.asarray([[0.0, float(np.log(3.0))]])  # p = [.25, .75]
     lp = np.asarray(sampling.log_prob_of(logits, jnp.asarray([1])))
     assert np.isclose(lp[0], np.log(0.75), atol=1e-4)
+
+
+def test_sample_ranked_matches_filtered_support(rng):
+    """The compressed (B, k) path must agree with the full-vocab reference
+    path: sampled tokens lie in the filtered support, and the returned
+    log-prob is under the UNSCALED pre-filter logits (the ranking-key
+    semantics of the sampler's old sample_logits + log_prob_of pair)."""
+    logits = jnp.asarray(rng.normal(size=(16, 57)).astype(np.float32))
+    for kw in (dict(top_k=5, top_p=0.7), dict(top_k=5), dict(top_k=57),
+               dict(top_p=0.7), dict()):
+        tok, lp = sampling.sample_ranked(jax.random.PRNGKey(3), logits,
+                                         temperature=0.8, **kw)
+        filt = sampling.filter_logits(logits, temperature=0.8, **kw)
+        f, t = np.asarray(filt), np.asarray(tok)
+        assert (f[np.arange(16), t] > sampling.NEG_INF).all()
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(sampling.log_prob_of(logits, tok)),
+            rtol=1e-5, atol=1e-5)
+
+
+def test_sample_ranked_argmax_and_distribution():
+    # top_k=1 == argmax, deterministic
+    logits = jnp.asarray([[1.0, 4.0, 2.0, 3.0]] * 8)
+    tok, _ = sampling.sample_ranked(jax.random.PRNGKey(0), logits, top_k=1)
+    assert (np.asarray(tok) == 1).all()
+    # best_in_first pins row 0 to the argmax regardless of the draw
+    tok2, _ = sampling.sample_ranked(jax.random.PRNGKey(4), logits, top_k=3,
+                                     best_in_first=True)
+    assert int(tok2[0]) == 1
+    # empirical frequencies over keys approximate softmax on the top-k set
+    base = jnp.asarray([[np.log(3.0), 0.0, -50.0, np.log(1.0)]])
+    draws = jax.vmap(lambda k: sampling.sample_ranked(k, base, top_k=3)[0][0]
+                     )(jax.random.split(jax.random.PRNGKey(5), 3000))
+    freq = np.bincount(np.asarray(draws), minlength=4) / 3000.0
+    # p = softmax([log3, 0, -inf(top-k drops idx2... keeps 3 best), 0]) over
+    # kept {0, 1, 3} = [0.6, 0.2, 0.2]
+    assert abs(freq[0] - 0.6) < 0.05 and freq[2] == 0.0
+    assert abs(freq[1] - 0.2) < 0.05 and abs(freq[3] - 0.2) < 0.05
