@@ -172,13 +172,23 @@ class ShapeFormer:
         gen_buf = jnp.stack(
             [jnp.full((B, max_gen), e, jnp.int32) for e in ends], axis=-1)
 
+        # best_in_first pins the FIRST candidate of every condition row to
+        # argmax (the reference's deterministic candidate 0, shapeformer.py:
+        # 234); with tiled candidates the conditions repeat every
+        # `candidates` rows
+        best_rows = None
+        if best_in_first:
+            best_rows = ((jnp.arange(B) % candidates == 0)
+                         if candidates > 1 else
+                         (jnp.arange(B) == 0))
+
         def pick(key, masked):
             # compressed top-k sampling: Gumbel/argmax/log-norm on (B, k)
             # instead of (B, V) — measured 0.40 ms/step of full-vocab
             # elementwise ops at flagship size (ops/sampling.sample_ranked)
             return sampling_ops.sample_ranked(
                 key, masked, top_k=top_k, top_p=top_p,
-                temperature=temperature, best_in_first=best_in_first)
+                temperature=temperature, best_rows=best_rows)
 
         def body(state):
             (caches, h0, logits0, buf, prev_token, prev_sum, j, logp,

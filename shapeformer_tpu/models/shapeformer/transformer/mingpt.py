@@ -292,18 +292,6 @@ class CondTupleGPT(nn.Module):
         sublane rows; the tail is key-masked."""
         return -(-self.block_size // 8) * 8
 
-    def init_cache(self, B: int):
-        """Zeroed (k, v) caches: per stage, a LIST over layers of
-        (B, cache_block, C) pairs — heads unsplit, channel minor.  Separate
-        per-layer arrays (not a stacked (n_layers, ...) tensor) — see
-        CausalSelfAttention.decode for the measured costs of the stacked /
-        head-split variants."""
-        return [
-            [(jnp.zeros((B, self.cache_block, self.n_embd), self.cache_dtype),
-              jnp.zeros((B, self.cache_block, self.n_embd), self.cache_dtype))
-             for _ in range(n)]
-            for n in self.n_layers]
-
     def prefill(self, idx, extra_idx, L_cond: int, key_valid):
         """Run the full prefix once, filling caches for every stage.
 

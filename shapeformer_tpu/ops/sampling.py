@@ -72,7 +72,8 @@ def log_prob_of(logits, tokens):
 
 
 def sample_ranked(key, logits, top_k: int = 0, top_p: float = 0.0,
-                  temperature: float = 1.0, best_in_first: bool = False):
+                  temperature: float = 1.0, best_in_first: bool = False,
+                  best_rows=None):
     """Filter + sample + log-prob in one pass, compressed to the top-k set.
 
     Distributionally identical to `sample_logits` followed by `log_prob_of`
@@ -87,7 +88,10 @@ def sample_ranked(key, logits, top_k: int = 0, top_p: float = 0.0,
     measure-zero for real float logits.
 
     best_in_first replaces row 0's draw with its argmax (the reference's
-    deterministic first candidate, shapeformer.py:234).
+    deterministic first candidate, shapeformer.py:234); best_rows, a (B,)
+    bool mask, generalizes it to any set of rows (the first candidate of
+    EVERY condition in a tiled multi-shape batch — complete_many).  When
+    best_rows is given it takes precedence over best_in_first.
 
     The returned log-prob is p(token) under the UNSCALED input distribution
     (pre-top-k/top-p, no temperature) — the reference's ranking key is
@@ -111,14 +115,20 @@ def sample_ranked(key, logits, top_k: int = 0, top_p: float = 0.0,
             vals = topv
         g = jax.random.gumbel(key, vals.shape, dtype=vals.dtype)
         sel = jnp.argmax(vals + g, axis=-1)
-        if best_in_first:
-            sel = sel.at[0].set(0)                       # topv[0] is the max
+        if best_rows is not None:
+            sel = jnp.where(best_rows, 0, sel)           # topv[0] is the max
+        elif best_in_first:
+            sel = sel.at[0].set(0)
         tok = jnp.take_along_axis(topi, sel[:, None], axis=-1)[:, 0]
     else:
         filtered = filter_logits(logits, top_k=0, top_p=top_p,
                                  temperature=1.0)
         tok = sample_categorical(key, filtered)
-        if best_in_first:
+        if best_rows is not None:
+            tok = jnp.where(best_rows,
+                            jnp.argmax(filtered, axis=-1).astype(jnp.int32),
+                            tok)
+        elif best_in_first:
             tok = tok.at[0].set(jnp.argmax(filtered[0]).astype(jnp.int32))
     chosen = jnp.take_along_axis(raw, tok[:, None].astype(jnp.int32),
                                  axis=-1)[:, 0]

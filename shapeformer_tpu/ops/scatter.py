@@ -25,6 +25,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _flat_segments(ids, n_cells: int):
@@ -96,64 +97,77 @@ def _seg_scan(vals, seg_start, mode: str, reverse: bool = False):
     return out
 
 
-_PALLAS_OK = None
+_PALLAS_OK = {}   # (C, dtype) -> bool
+
+# Feature widths the mosaic scan kernel is validated on (v5e).  Probing an
+# arbitrary width by just compiling it is NOT safe: a failed/hung mosaic
+# compile was observed to poison the TPU client (subsequent unrelated
+# programs die with FAILED_PRECONDITION) or deadlock the axon tunnel — so
+# unknown widths take the XLA scan (within ~20% of pallas anyway) instead
+# of being probed.  Extend after validating on hardware, or force with
+# SFTPU_PALLAS_SCATTER=1.
+_PALLAS_KNOWN_C = (32,)
+
+
+def _pallas_ok(C: int, dtype) -> bool:
+    """Pallas scan is the DEFAULT on TPU (it wins the bench microbench) at
+    validated feature widths, gated by a PER-(C, dtype) on-device
+    correctness check at first call — narrow widths hit unsupported mosaic
+    lowerings (C=16 f32 fails on v5e), and a failing compile can take the
+    TPU client down with it, so only _PALLAS_KNOWN_C widths are ever
+    probed.  Env override: SFTPU_PALLAS_SCATTER=0 opt-out / =1 force."""
+    env = os.environ.get("SFTPU_PALLAS_SCATTER", "")
+    if env in ("0", "1"):
+        return env == "1"
+    if jax.default_backend() != "tpu" or int(C) not in _PALLAS_KNOWN_C:
+        return False
+    sig = (int(C), np.dtype(dtype).name)
+    if sig not in _PALLAS_OK:
+        def _check():
+            try:
+                key = jax.random.PRNGKey(0)
+                ids = jax.random.randint(key, (2, 512), 0, 64)
+                c = jax.random.normal(key, (2, 512, sig[0]), jnp.float32
+                                      ).astype(dtype)
+                plan = jax.jit(pool_plan)(ids)
+                ok = True
+                for mode in ("max", "mean"):
+                    a = jax.jit(lambda c, p, m=mode: pooled_gather(
+                        c, p, m, use_pallas=True))(c, plan)
+                    b = jax.jit(lambda c, p, m=mode: pooled_gather(
+                        c, p, m, use_pallas=False))(c, plan)
+                    ok &= bool(jnp.allclose(
+                        a.astype(jnp.float32), b.astype(jnp.float32),
+                        atol=1e-2, rtol=1e-2))
+                _PALLAS_OK[sig] = ok
+                if not ok:
+                    print(f"[scatter] pallas scan FAILED the on-TPU "
+                          f"correctness check at C={sig[0]} {sig[1]}; "
+                          f"falling back to XLA scan")
+            except Exception as e:
+                print(f"[scatter] pallas scan unavailable at C={sig[0]} "
+                      f"{sig[1]} ({type(e).__name__}: {e}); using XLA scan")
+                _PALLAS_OK[sig] = False
+        try:
+            # usually reached while TRACING the encoder, where nothing can
+            # run eagerly (omnistaging) — run the one-time check on a fresh
+            # thread, whose trace state is clean
+            import threading
+            th = threading.Thread(target=_check)
+            th.start()
+            th.join()
+            if sig not in _PALLAS_OK:
+                _PALLAS_OK[sig] = False
+        except Exception as e:
+            print(f"[scatter] pallas scan unavailable "
+                  f"({type(e).__name__}: {e}); using XLA scan")
+            _PALLAS_OK[sig] = False
+    return _PALLAS_OK[sig]
 
 
 def _pallas_default() -> bool:
-    """Pallas scan is the DEFAULT on TPU (it wins the bench microbench),
-    gated by a one-time on-device correctness check at first call; the env
-    flag is kept as an override (SFTPU_PALLAS_SCATTER=0 opt-out / =1 force)."""
-    global _PALLAS_OK
-    if _PALLAS_OK is None:
-        env = os.environ.get("SFTPU_PALLAS_SCATTER", "")
-        if env in ("0", "1"):
-            _PALLAS_OK = env == "1"
-        elif jax.default_backend() != "tpu":
-            _PALLAS_OK = False
-        else:
-            def _check():
-                global _PALLAS_OK
-                try:
-                    key = jax.random.PRNGKey(0)
-                    # realistic lane width: narrow C (<32) hits unsupported
-                    # mosaic sub-word rotates
-                    ids = jax.random.randint(key, (2, 512), 0, 64)
-                    c = jax.random.normal(key, (2, 512, 32), jnp.float32)
-                    plan = jax.jit(pool_plan)(ids)
-                    ok = True
-                    for mode in ("max", "mean"):
-                        for dt in (jnp.float32, jnp.bfloat16):  # prod is bf16
-                            cd = c.astype(dt)
-                            a = jax.jit(lambda c, p, m=mode: pooled_gather(
-                                c, p, m, use_pallas=True))(cd, plan)
-                            b = jax.jit(lambda c, p, m=mode: pooled_gather(
-                                c, p, m, use_pallas=False))(cd, plan)
-                            ok &= bool(jnp.allclose(
-                                a.astype(jnp.float32), b.astype(jnp.float32),
-                                atol=1e-2, rtol=1e-2))
-                    _PALLAS_OK = ok
-                    if not ok:
-                        print("[scatter] pallas scan FAILED the on-TPU "
-                              "correctness check; falling back to XLA scan")
-                except Exception as e:
-                    print(f"[scatter] pallas scan unavailable "
-                          f"({type(e).__name__}: {e}); using XLA scan")
-                    _PALLAS_OK = False
-            try:
-                # usually reached while TRACING the encoder, where nothing
-                # can run eagerly (omnistaging) — run the one-time check on
-                # a fresh thread, whose trace state is clean
-                import threading
-                th = threading.Thread(target=_check)
-                th.start()
-                th.join()
-                if _PALLAS_OK is None:
-                    _PALLAS_OK = False
-            except Exception as e:
-                print(f"[scatter] pallas scan unavailable "
-                      f"({type(e).__name__}: {e}); using XLA scan")
-                _PALLAS_OK = False
-    return _PALLAS_OK
+    """Gate at the flagship encoder width (bench log/back-compat hook)."""
+    return _pallas_ok(32, jnp.bfloat16)
 
 
 def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
@@ -165,7 +179,7 @@ def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     without materializing the (B, n_cells, C) dense grid.
     """
     if use_pallas is None:
-        use_pallas = _pallas_default()
+        use_pallas = _pallas_ok(c.shape[-1], c.dtype)
     cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
     seg_start = plan["seg_start"]
     # end flags for the reverse scan: end[i] = start[i+1] (last row is an end)

@@ -216,11 +216,15 @@ def _mesh_batch(batch, mesh):
     the global batch divides the data axis."""
     dp = mesh.shape["data"]
     out = {}
-    b0 = None
+    # every array in a batch dict is batch-first (dataset rows are collated
+    # on axis 0); the real batch size is the LARGEST leading dim so a stray
+    # smaller array can never shrink the batch_mask
+    b0 = max((np.asarray(v).shape[0]
+              for v in _filter_batch(batch).values()
+              if np.asarray(v).ndim >= 1), default=None)
     for k, v in _filter_batch(batch).items():
         v = np.asarray(v)
         if v.ndim >= 1:
-            b0 = v.shape[0] if b0 is None else b0
             if v.shape[0] % dp != 0:
                 pad = dp - v.shape[0] % dp
                 v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])

@@ -191,6 +191,9 @@ class Trainer:
                 print(f"[trainer] wandb unavailable ({type(e).__name__}: {e});"
                       f" falling back to tensorboard+jsonl logging")
                 self.trainer_opt["logger"] = "tensorboard"
+                # logger_kwargs were wandb.init kwargs — SummaryWriter would
+                # reject them
+                self.trainer_opt["logger_kwargs"] = {}
                 self._wandb_run = False
         return self._wandb_run or None
 
@@ -223,8 +226,14 @@ class Trainer:
         if self.trainer_opt.get("logger") == "wandb":
             run = self._wandb()   # may rewrite logger to tensorboard
             if run is not None:
-                run.log({f"{stage}/{k}": float(v)
-                         for k, v in metrics.items()}, step=max(epoch, 0))
+                data = {f"{stage}/{k}": float(v) for k, v in metrics.items()}
+                if epoch >= 0:
+                    run.log(data, step=epoch)
+                else:
+                    # test stage logs epoch=-1 AFTER training: a step below
+                    # the run's counter would be silently dropped by wandb —
+                    # log at the current counter instead
+                    run.log(data)
         if self.trainer_opt.get("logger") == "tensorboard":
             # reference logger options (trainer.py:174-187)
             tb = self._tensorboard()

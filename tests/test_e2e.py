@@ -237,10 +237,17 @@ def test_wandb_logger_fallback(in_ws):
 
     tr = Trainer("configs/synthetic/vqdif_synth.yaml", mode="train")
     tr.trainer_opt["logger"] = "wandb"
+    # wandb-specific init kwargs must NOT leak into the SummaryWriter on
+    # fallback (they are not tensorboard kwargs)
+    tr.trainer_opt["logger_kwargs"] = {"project": "sftpu-test"}
     tr.log_metrics({"loss": 1.0}, 0, "train")
+    # the test stage logs epoch=-1 after training — must not crash either
+    tr.log_metrics({"loss": 0.5}, -1, "test")
     # with wandb importable the logger stays wandb; otherwise it must have
     # fallen back (never crashed) and the jsonl stream is always written
     assert tr.trainer_opt["logger"] in ("wandb", "tensorboard")
+    if tr.trainer_opt["logger"] == "tensorboard":
+        assert tr.trainer_opt["logger_kwargs"] == {}
     assert os.path.exists(os.path.join(tr.minfo["logs_dir"],
                                        "metrics.jsonl"))
 

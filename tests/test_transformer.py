@@ -314,3 +314,21 @@ def test_candidates_tiled_prefill_matches_expanded(model_params):
     np.testing.assert_array_equal(np.asarray(raw_t), np.asarray(raw_e))
     np.testing.assert_allclose(np.asarray(logp_t), np.asarray(logp_e),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_best_in_first_pins_every_condition(model_params):
+    """best_in_first must make candidate 0 of EVERY condition row
+    deterministic (the reference pins the first candidate per shape,
+    shapeformer.py:234) — not just global row 0 of the tiled batch."""
+    sf, params = model_params
+    c = make_seq([[0, 3, 6], [2, 5]], [[5, 2, 9], [1, 3]])
+    kw = dict(max_steps=6, top_k=4, top_p=0.9, best_in_first=True,
+              candidates=3)
+    raw_a = np.asarray(sf.sample(params, c, jax.random.PRNGKey(0), **kw)[1])
+    raw_b = np.asarray(sf.sample(params, c, jax.random.PRNGKey(9), **kw)[1])
+    # rows tile as [cond0 x3, cond1 x3]: rows 0 and 3 are argmax trajectories
+    np.testing.assert_array_equal(raw_a[0], raw_b[0])
+    np.testing.assert_array_equal(raw_a[3], raw_b[3])
+    # the stochastic candidates must actually differ across keys (else the
+    # determinism assertion above is vacuous)
+    assert any(not np.array_equal(raw_a[i], raw_b[i]) for i in (1, 2, 4, 5))
