@@ -36,7 +36,7 @@ SAMPLE_N = 8
 MAX_STEPS = 512
 DECODE_RES = 128
 TOP_K, TOP_P = 100, 0.4
-PIPELINE_SHAPES = 8
+PIPELINE_SHAPES = 9   # -> 8 completion gaps (first completion is the origin)
 DTYPE = jnp.bfloat16
 # int8 weight-only transformer serving path (ops/quant.py); SFTPU_BENCH_INT8=0
 # falls back to bf16 weights
@@ -299,15 +299,18 @@ def main():
 
     # Per-shape completion intervals; the single host core's speed swings
     # several-fold with machine noise, so the steady-state estimate is the
-    # MEDIAN interval, not the mean.  One untimed warmup shape first: the
-    # first post-compile sample pays one-time allocator/donation costs and
-    # has no pipeline overlap yet, neither of which any steady-state shape
-    # repays.
-    warm = launch(-1)
-    mesh_job(np.asarray(warm))
-    done_t = []
+    # MEDIAN interval, not the mean.  Two untimed warmup shapes FILL the
+    # pipeline before the window: the first post-compile sample pays
+    # one-time allocator/donation costs, the mesher's first runs pay
+    # dlopen/page-cache costs, and until one shape is in flight there is
+    # no device/host overlap — none of which a steady-state shape repays.
+    warm0 = launch(-2)
+    warm1 = launch(-1)
+    mesh_job(np.asarray(warm0))          # device computes -1 meanwhile
+    occ_w = np.asarray(warm1)
     occ_fut = launch(0)
-    t0 = time.time()
+    mesh_job(occ_w)                      # device computes 0 meanwhile
+    done_t = []
     for i in range(PIPELINE_SHAPES):
         nxt = launch(i + 1) if i + 1 < PIPELINE_SHAPES else None
         occ_i = np.asarray(occ_fut)    # blocks; device already runs shape i+1
@@ -319,12 +322,16 @@ def main():
         mesh_thread.start()
     mesh_thread.join()
     done_t.append(time.time())
-    intervals = np.diff([t0] + done_t)
+    # steady-state = gaps BETWEEN completions, with the first completion as
+    # the origin: the gap t0 -> first completion would measure pipeline
+    # build-up (plus the tunnel's consistent +0.3 s first-dispatch-after-a-
+    # pause cost), which no steady-state shape repays
+    intervals = np.diff(done_t)
     steady_s = float(np.median(intervals))
     max_interval_s = float(np.max(intervals))
-    log(f"pipelined intervals over {PIPELINE_SHAPES} shapes: "
-        f"{[round(t, 3) for t in intervals]} -> median {steady_s:.3f}s/shape "
-        f"(max {max_interval_s:.3f}s)")
+    log(f"pipelined completion gaps over {PIPELINE_SHAPES} shapes "
+        f"(first completion = origin): {[round(t, 3) for t in intervals]} "
+        f"-> median {steady_s:.3f}s/shape (max {max_interval_s:.3f}s)")
 
     # ------------------------------- batched-shapes serving throughput extra
     # ShapeFormer.complete_many: S shapes per sampling call amortizes the
