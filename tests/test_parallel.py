@@ -145,6 +145,26 @@ def test_steps_tolerate_batch_shape_changes():
     assert np.isfinite(float(mm1["loss"])) and np.isfinite(float(mm2["loss"]))
 
 
+def test_mesh_batch_padding_and_mask():
+    """_mesh_batch pads every array to a dp multiple and derives the real
+    batch size from the LARGEST leading dim — a stray smaller array must
+    never shrink the batch_mask (code-review r3 finding)."""
+    from shapeformer_tpu.systems import _mesh_batch
+
+    mesh = make_mesh(4)
+    batch = {
+        # dict order puts the small array first on purpose
+        "aux": np.zeros((3, 2), np.float32),
+        "Xbd": np.zeros((6, 16, 3), np.float32),
+        "Ytg": np.zeros((6, 8, 1), np.float32),
+    }
+    out = _mesh_batch(batch, mesh)
+    assert out["Xbd"].shape[0] == 8 and out["Ytg"].shape[0] == 8
+    mask = out["batch_mask"]
+    assert mask.shape == (8,)
+    np.testing.assert_array_equal(mask, [1, 1, 1, 1, 1, 1, 0, 0])
+
+
 def test_completion_callback_candidate_sharding(tmp_path):
     """VisShapeFormer under a trainer mesh: the sample_n candidate batch is
     sharded over the 'data' axis (SURVEY.md section 2.2 mapping) and the
