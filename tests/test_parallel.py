@@ -198,6 +198,42 @@ def test_completion_callback_candidate_sharding(tmp_path):
     assert np.isfinite(computed["log_prob"]).all()
 
 
+def test_complete_many_sharded(tmp_path):
+    """Batched serving over a mesh: S condition clouds sharded over 'data',
+    weights Megatron-sharded over 'model'; results group per condition and
+    match the unsharded call exactly under argmax sampling."""
+    import jax
+    import numpy as np
+    import __graft_entry__ as ge
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from shapeformer_tpu.parallel import make_mesh
+    from shapeformer_tpu.parallel.sharding import state_spec
+
+    vqdif, sf = ge._build_models(voxel_res=4, grid_res=8, vocab=32,
+                                 vq_dim=32, n_embd=32, n_layers=(1, 1),
+                                 n_head=2, block_size=34)
+    params, vq_vars = ge._init_all(vqdif, sf, n_pts=256)
+    S = 4
+    Xct = jnp.asarray(np.random.default_rng(1).uniform(
+        -0.8, 0.8, (S, 256, 3)).astype(np.float32))
+    kw = dict(candidates=2, max_steps=4, top_k=1, top_p=1.0)
+    key = jax.random.PRNGKey(3)
+
+    ref = sf.complete_many(params, Xct, key, vqdif_vars=vq_vars, **kw)
+
+    mesh = make_mesh(8, tp=2)
+    sp = jax.device_put(params, state_spec(params, mesh))
+    xs = jax.device_put(Xct, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, x, k: sf.complete_many(
+        p, x, k, vqdif_vars=vq_vars, **kw))(sp, xs, key)
+    assert got["tokens"].shape[:2] == (S, 2)
+    np.testing.assert_array_equal(np.asarray(got["tokens"]),
+                                  np.asarray(ref["tokens"]))
+    np.testing.assert_allclose(np.asarray(got["log_prob"]),
+                               np.asarray(ref["log_prob"]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_completion_callback_tensor_parallel(tmp_path):
     """Tensor-parallel serving: under a ('data','model') mesh the callback
     Megatron-shards the transformer weights over 'model' (each chip streams
