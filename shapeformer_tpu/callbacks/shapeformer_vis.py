@@ -74,13 +74,15 @@ class VisShapeFormer(VisCallback):
                     candidates=self.sample_n)
             else:
                 # mesh: expand up front so the candidate batch carries an
-                # explicit 'data' sharding through sampling
+                # explicit 'data' sharding through sampling; all rows are
+                # candidates of ONE condition, so only row 0 pins to argmax
                 c_exp = shard_candidates(
                     jnp.broadcast_to(c, (self.sample_n,) + c.shape[1:]))
                 out, raw, logp = model.sample(
                     params, c_exp, rng, max_steps=self.sample_max_step,
                     top_k=self.top_k, top_p=self.top_p,
-                    temperature=self.temperature, best_in_first=True)
+                    temperature=self.temperature,
+                    best_rows=jnp.arange(self.sample_n) == 0)
             return out, raw, logp, c, others["empty_index"]
 
         vqdif = rep.vqdif_model
@@ -111,7 +113,10 @@ class VisShapeFormer(VisCallback):
             from ..parallel import state_spec
             params = jax.device_put(params, state_spec(params, mesh))
         vqdif_vars = self.system.vqdif_vars
-        rng = jax.random.PRNGKey(abs(hash(input_name)) % (2 ** 31))
+        # stable across processes (python str hash is PYTHONHASHSEED-salted,
+        # which made repeated --mode run eval exports non-reproducible)
+        import zlib
+        rng = jax.random.PRNGKey(zlib.crc32(input_name.encode()) % (2 ** 31))
         out, raw, logp, c, empty_index = self._sample_jit(
             params, vqdif_vars, jnp.asarray(batch["Xct"]), rng)
         # observability for the multi-device inference path (tests assert on

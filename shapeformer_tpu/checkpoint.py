@@ -82,10 +82,16 @@ def parse_resume(ckpt, checkpoints_dir):
     return ckpt
 
 
-def restore_checkpoint(path, target=None):
+def restore_checkpoint(path, target=None, allow_missing=()):
     """Restore a pytree; with `target`, leaves are matched BY PATH (key
     sequence) against the target's structure — equal leaf counts with
-    different nesting fail loudly instead of silently mis-pairing."""
+    different nesting fail loudly instead of silently mis-pairing.
+
+    allow_missing: top-level target keys that MAY be absent from the
+    checkpoint; their leaves keep the target's (fresh) values.  Inference
+    restores pass ("opt_state", "step") so converted reference checkpoints
+    (weights only, convert.py) load through --mode test/run; any missing
+    WEIGHT leaf still fails loudly."""
     restored = _checkpointer().restore(os.path.abspath(path))
     if target is None:
         return restored
@@ -106,13 +112,22 @@ def restore_checkpoint(path, target=None):
     flat_r = {key_str(p): leaf for p, leaf in
               jax.tree_util.tree_flatten_with_path(restored)[0]}
     flat_t, treedef = jax.tree_util.tree_flatten_with_path(target)
-    missing = [key_str(p) for p, _ in flat_t if key_str(p) not in flat_r]
+
+    def skippable(path_parts):
+        head = key_str(path_parts).split("/", 1)[0]
+        return head in allow_missing
+
+    missing = [key_str(p) for p, _ in flat_t
+               if key_str(p) not in flat_r and not skippable(p)]
     assert not missing, \
         f"checkpoint at {path} lacks target leaves: {missing[:5]}" \
         f"{'...' if len(missing) > 5 else ''}"
     leaves = []
     for p, t in flat_t:
-        r = flat_r[key_str(p)]
+        r = flat_r.get(key_str(p))
+        if r is None:
+            leaves.append(t)              # allowed-missing: keep fresh value
+            continue
         leaves.append(np.asarray(r).astype(t.dtype)
                       if hasattr(t, "dtype") else r)
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -21,7 +21,12 @@ class Dataset:
 
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, seed=0,
-                 drop_last=True, num_workers=0, pin_memory=False):
+                 drop_last=False, num_workers=0, pin_memory=False):
+        # drop_last defaults False like torch's DataLoader (the reference
+        # keeps tail batches for train AND eval, datamodule.py:54-63); a
+        # dropped tail silently excluded samples from val/test metrics and
+        # a val set smaller than val_batch_size yielded ZERO batches
+        # (val_loss=inf -> early-stop on a healthy model)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

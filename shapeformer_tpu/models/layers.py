@@ -45,6 +45,8 @@ class CBatchNorm1d(nn.Module):
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
+    momentum: float = 0.9
+
     @nn.compact
     def __call__(self, x, c, use_running_average: bool = False):
         # x: (B, N, f_dim), c: (B, c_dim)
@@ -53,8 +55,23 @@ class CBatchNorm1d(nn.Module):
                          bias_init=nn.initializers.ones, name="conv_gamma")(c)
         beta = nn.Dense(self.f_dim, dtype=self.dtype,
                         kernel_init=nn.initializers.zeros, name="conv_beta")(c)
-        mean = x.mean(axis=(0, 1), keepdims=True)
-        var = x.var(axis=(0, 1), keepdims=True)
+        # running statistics like the torch BatchNorm1d it mirrors
+        # (layers.py:193-244): eval normalizes with the running estimate so
+        # outputs don't depend on batch composition; the estimate updates
+        # only when the caller marks 'batch_stats' mutable (training)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((1, 1, self.f_dim)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((1, 1, self.f_dim)))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = x.mean(axis=(0, 1), keepdims=True)
+            var = x.var(axis=(0, 1), keepdims=True)
+            if self.is_mutable_collection("batch_stats"):
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
         norm = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return gamma[:, None, :] * norm + beta[:, None, :]
 
@@ -68,14 +85,14 @@ class CResnetBlockConv1d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, use_running_average: bool = False):
         size_h = self.size_h or self.size_in
         size_out = self.size_out or self.size_in
         net = CBatchNorm1d(self.c_dim, self.size_in, dtype=self.dtype,
-                           name="bn_0")(x, c)
+                           name="bn_0")(x, c, use_running_average)
         net = nn.Dense(size_h, dtype=self.dtype, name="fc_0")(nn.relu(net))
         net = CBatchNorm1d(self.c_dim, size_h, dtype=self.dtype,
-                           name="bn_1")(net, c)
+                           name="bn_1")(net, c, use_running_average)
         dx = nn.Dense(size_out, dtype=self.dtype, name="fc_1",
                       kernel_init=nn.initializers.zeros)(nn.relu(net))
         if self.size_in == size_out:

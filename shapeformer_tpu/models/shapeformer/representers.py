@@ -232,6 +232,18 @@ class ShapeRepresenter(Representer):
         L = c_indices.shape[1] + z_indices.shape[1]
         return jnp.zeros((B, L, 1), jnp.int32)
 
+    def sampling_next_extra(self, cond_pos, new_elem0, prev_elem0, step_j):
+        """Extra index of a freshly sampled gen token.
+
+        Matches the reference sampler, which recomputes get_extra_indices
+        over the CONVERTED sampled buffer every step (shapeformer.py:78-87)
+        — so each representer derives the new token's extra from its
+        converted coding.  Base: whatever next_extra_for computes (AR_N) or
+        zeros (the base get_extra_indices)."""
+        if hasattr(self, "next_extra_for"):
+            return self.next_extra_for(cond_pos, new_elem0)
+        return jnp.zeros_like(new_elem0)
+
     # ---------------------------------------------------------------- masking
     def sampling_masker(self, logits, *, tuple_i, step_j, new_pos=None,
                         prev_pos=None, cond_pos=None):
@@ -297,6 +309,13 @@ class AR_RR(ShapeRepresenter):
         zRR = AR_to_RR(z_indices[..., 0], self.end_tokens[0])
         return jnp.concatenate([cRR, zRR], axis=1)[..., None]
 
+    def sampling_next_extra(self, cond_pos, new_elem0, prev_elem0, step_j):
+        # AR_to_RR within the gen segment: token 0's delta is itself
+        # (representers.py:391-398 via the reference's per-step recompute)
+        end = self.end_tokens[0]
+        delta = jnp.where(step_j == 0, new_elem0, new_elem0 - prev_elem0)
+        return jnp.where(new_elem0 == end, end, delta)
+
 
 class RR(ShapeRepresenter):
     """Relative-raveled position tokens (representers.py:209-267)."""
@@ -342,6 +361,11 @@ class RR_AR(RR):
     def get_extra_indices(self, c_indices, z_indices):
         return jnp.concatenate(
             [c_indices[..., 0], z_indices[..., 0]], axis=1)[..., None]
+
+    def sampling_next_extra(self, cond_pos, new_elem0, prev_elem0, step_j):
+        # the reference recomputes extras from the CONVERTED (RR) buffer, so
+        # a gen token's extra is its own delta token (cz[..., 0])
+        return new_elem0
 
 
 class AU(ShapeRepresenter):

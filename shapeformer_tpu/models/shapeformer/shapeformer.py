@@ -79,10 +79,15 @@ class ShapeFormer:
         L_c = c_indices.shape[1]
         cz = jnp.concatenate([c_indices, z_indices], axis=1)
         idx, target = cz[:, :-1], cz[:, 1:]
-        ie = self.representer.input_end_tokens
+        # c/z arrive CONVERTED (e.g. AU (z,y,x,val) 4-tuples), so padding
+        # detection must use the representer's converted-coding mask — the
+        # input-coding end tokens never match a converted AU sequence, which
+        # silently left ALL padding attendable at train time while sampling
+        # masked it (train/sample attention mismatch)
+        rep = self.representer
         key_valid = jnp.concatenate(
-            [sparse_ops.token_mask(c_indices, ie),
-             sparse_ops.token_mask(z_indices, ie)], axis=1)[:, :-1] > 0
+            [rep.cond_token_mask(c_indices),
+             rep.cond_token_mask(z_indices)], axis=1)[:, :-1]
         rngs = {"dropout": rng} if rng is not None else None
         logits = self.transformer.apply(
             params, idx, extra_indices[:, :-1], L_c, target, key_valid,
@@ -117,7 +122,7 @@ class ShapeFormer:
     def sample_indices(self, params, c_indices, rng, max_steps: int = 512,
                        top_k: int = 100, top_p: float = 0.8,
                        temperature: float = 1.0, best_in_first: bool = False,
-                       candidates: int = 1):
+                       candidates: int = 1, best_rows=None):
         """KV-cached AR sampling (semantics of shapeformer.py:55-123).
 
         c_indices: (B, max_length, tuple_n) padded condition tokens (in input
@@ -175,12 +180,12 @@ class ShapeFormer:
         # best_in_first pins the FIRST candidate of every condition row to
         # argmax (the reference's deterministic candidate 0, shapeformer.py:
         # 234); with tiled candidates the conditions repeat every
-        # `candidates` rows
-        best_rows = None
-        if best_in_first:
-            best_rows = ((jnp.arange(B) % candidates == 0)
-                         if candidates > 1 else
-                         (jnp.arange(B) == 0))
+        # `candidates` rows — at candidates=1 every row is its own
+        # condition, so all rows pin.  Callers that pre-expand ONE condition
+        # into a candidate batch themselves (callbacks/shapeformer_vis.py)
+        # pass an explicit best_rows mask instead.
+        if best_rows is None and best_in_first:
+            best_rows = jnp.arange(B) % candidates == 0
 
         def pick(key, masked):
             # compressed top-k sampling: Gumbel/argmax/log-norm on (B, k)
@@ -217,9 +222,8 @@ class ShapeFormer:
             buf = jax.lax.dynamic_update_slice_in_dim(
                 buf, token[:, None, :], j, axis=1)
             # --- append token, advance stage 0 ---
-            extra_new = (rep.next_extra_for(cond_pos, cur[0])[:, None]
-                         if hasattr(rep, "next_extra_for")
-                         else jnp.zeros((B, 1), jnp.int32))
+            extra_new = rep.sampling_next_extra(
+                cond_pos, cur[0], prev_token[:, 0], j)[:, None]
             idx0 = L_c + j
             caches, h0, logits0 = tf.apply(
                 params, caches, token, extra_new, idx0, j,

@@ -364,7 +364,12 @@ class CondTupleGPT(nn.Module):
         tok = sum(emb(new_token[:, i]) for i, emb in enumerate(self.tok_embs))
         extra = sum(emb(new_extra[:, i])
                     for i, emb in enumerate(self.extra_tok_embs))
-        pos = jax.lax.dynamic_slice_in_dim(self.pos_emb[0], gen_pos, 1, axis=0)
+        # pos_no_restart: training indexes pos_emb by ABSOLUTE sequence
+        # position (get_pos_embeddings); the restart-at-zero gen_pos applies
+        # only to the default separate-cond-table layout
+        pos_idx = index if self.pos_no_restart else gen_pos
+        pos = jax.lax.dynamic_slice_in_dim(self.pos_emb[0], pos_idx, 1,
+                                           axis=0)
         if self.no_pos_emb:
             pos = pos * 0.0
         x = (tok + extra)[:, None, :] + pos[None].astype(self.dtype)

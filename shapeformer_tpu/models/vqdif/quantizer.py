@@ -39,11 +39,21 @@ class Quantizer(nn.Module):
         """(B, r, r, r) indices -> (B, r, r, r, C) codebook features."""
         return jnp.take(self.codebook.value, ind, axis=0)
 
-    def __call__(self, grid_feat, train: bool = False):
-        """(B, r, r, r, C) -> (quant_feat, quant_feat_st, indices, quant_diff)."""
+    def __call__(self, grid_feat, train: bool = False, row_weight=None):
+        """(B, r, r, r, C) -> (quant_feat, quant_feat_st, indices, quant_diff).
+
+        row_weight: optional (B,) 0/1 weights — rows duplicated by dp batch
+        padding (systems._mesh_batch) carry weight 0 so they bias neither
+        the commitment loss nor the EMA codebook statistics."""
         B = grid_feat.shape[0]
         C = self.n_embd
         flat = grid_feat.reshape(-1, C).astype(jnp.float32)
+        w_flat = None
+        if row_weight is not None:
+            w_flat = jnp.broadcast_to(
+                row_weight.astype(jnp.float32).reshape(
+                    (B,) + (1,) * (grid_feat.ndim - 2)),
+                grid_feat.shape[:-1]).reshape(-1)
         weight = self.codebook.value.astype(jnp.float32)          # (V, C)
         # ||z - e||^2 expanded; argmin == argmax of -distance
         dist = ((flat ** 2).sum(-1, keepdims=True)
@@ -55,6 +65,8 @@ class Quantizer(nn.Module):
 
         if train and self.is_mutable_collection("vq"):
             onehot = jax.nn.one_hot(ind_flat, self.vocab_size, dtype=jnp.float32)
+            if w_flat is not None:
+                onehot = onehot * w_flat[:, None]
             counts = onehot.sum(0)                                 # (V,)
             encode_sum = flat.T @ onehot                           # (C, V)
             g = self.gamma
@@ -68,5 +80,11 @@ class Quantizer(nn.Module):
 
         quant_feat = quant_feat.astype(grid_feat.dtype)
         quant_feat_st = grid_feat + jax.lax.stop_gradient(quant_feat - grid_feat)
-        quant_diff = ((grid_feat - jax.lax.stop_gradient(quant_feat)) ** 2).mean()
+        d = (grid_feat - jax.lax.stop_gradient(quant_feat)) ** 2
+        if row_weight is not None:
+            per_row = d.reshape(B, -1).mean(axis=1)
+            w = row_weight.astype(per_row.dtype)
+            quant_diff = (per_row * w).sum() / jnp.maximum(w.sum(), 1.0)
+        else:
+            quant_diff = d.mean()
         return quant_feat, quant_feat_st, indices, quant_diff

@@ -103,11 +103,11 @@ class VQDIF(nn.Module):
         return dict(logits=logits.swapaxes(0, 1).reshape(B, M, 1))
 
     # ------------------------------------------------------------- training
-    def __call__(self, Xbd, Xtg, train: bool = False):
+    def __call__(self, Xbd, Xtg, train: bool = False, batch_mask=None):
         grid_feat, grid_mask = self.encode(Xbd)
         if self.quantizer is not None:
             quant_feat, quant_feat_st, quant_ind, quant_diff = self.quantizer(
-                grid_feat, train=train)
+                grid_feat, train=train, row_weight=batch_mask)
             grid_feat = quant_feat_st
         else:
             quant_feat_st = quant_ind = quant_diff = None
@@ -148,7 +148,8 @@ def get_loss(model: VQDIF, variables, batch, train: bool = False):
     Xbd = batch["Xct"] if model.Xct_as_Xbd else batch["Xbd"]
     mutable = ["vq"] if train else []
     out, updated = model.apply(variables, Xbd, batch["Xtg"], train=train,
+                               batch_mask=batch.get("batch_mask"),
                                mutable=mutable)
     losses = vq_loss(out["logits"], batch["Ytg"], out["quant_diff"],
-                     beta=model.vq_beta)
+                     beta=model.vq_beta, batch_mask=batch.get("batch_mask"))
     return losses["loss"], (losses, updated)

@@ -77,6 +77,7 @@ class VQDIFSystem:
         Xbd = batch["Xct"] if model.Xct_as_Xbd else batch["Xbd"]
         out, upd = model.apply({"params": params, "vq": vq}, Xbd,
                                batch["Xtg"], train=train,
+                               batch_mask=batch.get("batch_mask"),
                                mutable=["vq"] if train else [])
         losses = vq_loss(out["logits"], batch["Ytg"], out["quant_diff"],
                          beta=model.vq_beta,
@@ -209,11 +210,10 @@ def _mesh_batch(batch, mesh):
     (repeating trailing rows), keeping shapes static for pjit.
 
     A 'batch_mask' (B,) float array marks real rows 1 / padded duplicates 0;
-    the loss functions weight per-sample terms by it so padding never biases
-    metrics or gradients.  Caveat: the VQ EMA codebook statistics are computed
-    inside model.apply over all rows, so a padded row still contributes its
-    (duplicate) cell counts there — bounded by (dp-1)/batch and zero whenever
-    the global batch divides the data axis."""
+    the loss functions weight per-sample terms by it (BCE + commitment) and
+    the VQ EMA codebook statistics weight their counts by it (quantizer
+    row_weight), so padding never biases metrics, gradients, or the
+    codebook."""
     dp = mesh.shape["data"]
     out = {}
     # every array in a batch dict is batch-first (dataset rows are collated

@@ -360,8 +360,10 @@ class Trainer:
             self.state = system.create_state(
                 init_rng, sample if sample is not None else None)
         if resume_from:
-            self.state = ckpt_lib.restore_checkpoint(resume_from,
-                                                     target=self.state)
+            # converted reference checkpoints are weights-only (convert.py)
+            self.state = ckpt_lib.restore_checkpoint(
+                resume_from, target=self.state,
+                allow_missing=("opt_state", "step"))
         if self.mesh is not None:
             # --mode test --gpus 0..n: shard eval + candidate batches over
             # the mesh (VERDICT r2 #3; ref per-rank sharding plutil.py:123-139)
@@ -383,8 +385,10 @@ class Trainer:
             self.rng, init_rng = jax.random.split(self.rng)
             self.state = system.create_state(init_rng, None)
         if self.resume_from_checkpoint:
+            # converted reference checkpoints are weights-only (convert.py)
             self.state = ckpt_lib.restore_checkpoint(
-                self.resume_from_checkpoint, target=self.state)
+                self.resume_from_checkpoint, target=self.state,
+                allow_missing=("opt_state", "step"))
         if self.mesh is not None:
             # --mode run --gpus 0..n: the completion callback shards its
             # sample_n candidates over the 'data' axis (VERDICT r2 #3)

@@ -220,3 +220,21 @@ def test_convert_checkpoint_cli_roundtrip(ref_vqdif, j_vqdif, tmp_path, rng):
          for k, v in variables.items()},
         jnp.asarray(cloud), method=j_vqdif.quantize_cloud)
     assert np.asarray(ind).shape == (1, 8, 8, 8)
+
+    # the trainer's --mode test/run restore targets the FULL system state;
+    # converted checkpoints are weights-only, so inference restores allow
+    # opt_state/step to stay fresh (code-review r3 finding) while a missing
+    # weight leaf still fails loudly
+    import jax
+    import optax
+    full = restore_checkpoint(out)
+    state = dict(params=full["params"], vq=full["vq"],
+                 opt_state=optax.adam(1e-3).init(full["params"]),
+                 step=np.int32(0))
+    fresh_like = jax.tree_util.tree_map(np.zeros_like, state)
+    restored = restore_checkpoint(out, target=fresh_like,
+                                  allow_missing=("opt_state", "step"))
+    leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+    assert np.abs(np.asarray(leaf)).sum() > 0      # weights actually loaded
+    with pytest.raises(AssertionError):
+        restore_checkpoint(out, target=fresh_like)  # strict path still loud

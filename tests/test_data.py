@@ -242,3 +242,26 @@ def test_make_imnet_dataset_roundtrip(tmp_path, rng):
         assert 0.3 < np.median(r) < 0.7
     finally:
         os.chdir(old)
+
+
+def test_dataloader_keeps_tail_batches():
+    """drop_last defaults False like torch (reference datamodule.py:54-63):
+    eval must see every sample, and a set smaller than the batch size must
+    still yield one batch (a dropped tail made val_loss=inf and fired
+    early-stopping on healthy models)."""
+    class Tiny:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32)}
+
+    dl = DataLoader(Tiny(), batch_size=4)
+    sizes = [b["x"].shape[0] for b in dl]
+    assert sizes == [4, 4, 2] and len(dl) == 3
+    dl_small = DataLoader(Tiny(), batch_size=32)
+    assert len(dl_small) == 1
+    assert next(iter(dl_small))["x"].shape[0] == 10
+    # train path may still opt in to dropping
+    dl_drop = DataLoader(Tiny(), batch_size=4, drop_last=True)
+    assert [b["x"].shape[0] for b in dl_drop] == [4, 4]

@@ -165,6 +165,36 @@ def test_mesh_batch_padding_and_mask():
     np.testing.assert_array_equal(mask, [1, 1, 1, 1, 1, 1, 0, 0])
 
 
+def test_vq_ema_ignores_padded_rows():
+    """The quantizer's EMA statistics and commitment loss must be identical
+    for (real batch) vs (real batch + mask-0 duplicate rows) — dp padding
+    must not bias the codebook (code-review r3 finding)."""
+    from shapeformer_tpu.models.vqdif.quantizer import Quantizer
+
+    q = Quantizer(vocab_size=16, n_embd=8)
+    rng = jax.random.PRNGKey(0)
+    feat3 = jax.random.normal(rng, (3, 2, 2, 2, 8))
+    variables = q.init(rng, feat3)
+
+    (_, _, _, diff_ref), upd_ref = q.apply(
+        variables, feat3, train=True, mutable=["vq"])
+    # pad to 4 rows by duplicating the last, weight it 0
+    feat4 = jnp.concatenate([feat3, feat3[-1:]], axis=0)
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    (_, _, _, diff_pad), upd_pad = q.apply(
+        variables, feat4, train=True, row_weight=w, mutable=["vq"])
+
+    np.testing.assert_allclose(float(diff_pad), float(diff_ref), rtol=1e-6)
+    for k in ("codebook", "N", "z_avg"):
+        np.testing.assert_allclose(np.asarray(upd_pad["vq"]["quantizer"][k])
+                                   if "quantizer" in upd_pad["vq"]
+                                   else np.asarray(upd_pad["vq"][k]),
+                                   np.asarray(upd_ref["vq"]["quantizer"][k])
+                                   if "quantizer" in upd_ref["vq"]
+                                   else np.asarray(upd_ref["vq"][k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_completion_callback_candidate_sharding(tmp_path):
     """VisShapeFormer under a trainer mesh: the sample_n candidate batch is
     sharded over the 'data' axis (SURVEY.md section 2.2 mapping) and the

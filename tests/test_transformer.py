@@ -103,6 +103,49 @@ def test_decode_matches_forward(model_params, rep):
                                    method=CondTupleGPT.decode_stage0)
 
 
+def test_decode_matches_forward_pos_no_restart():
+    """pos_no_restart=True: training indexes pos_emb by ABSOLUTE position,
+    so the KV decode path must too (code-review r3: decode_stage0 always
+    used restart-at-zero gen positions, giving sampled tokens condition-
+    region embeddings)."""
+    kw = dict(TF_KW, pos_no_restart=True, cond_emb_same=True)
+    tf = CondTupleGPT(**kw)
+    g = np.random.default_rng(7)
+    B, L_c, L_z = 2, 5, 3
+    cz = np.stack([g.integers(0, POS_V - 1, (B, L_c + L_z)),
+                   g.integers(0, VAL_V - 1, (B, L_c + L_z))], axis=-1)
+    cz = jnp.asarray(cz, jnp.int32)
+    extra = jnp.zeros((B, L_c + L_z, 1), jnp.int32)
+    params = tf.init(jax.random.PRNGKey(0), cz[:, :-1], extra[:, :-1], L_c,
+                     cz[:, 1:], deterministic=True)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.PRNGKey(2), x.shape,
+                                              x.dtype), params)
+    kv_all = jnp.ones((B, L_c + L_z - 1), bool)
+    full = tf.apply(params, cz[:, :-1], extra[:, :-1], L_c, cz[:, 1:],
+                    kv_all, deterministic=True)
+    full = [lg[:, L_c - 1:, :] for lg in full]
+
+    c = cz[:, :L_c]
+    caches, h0, lg0 = tf.apply(params, c, extra[:, :L_c], L_c,
+                               jnp.ones((B, L_c), bool),
+                               method=CondTupleGPT.prefill)
+    blk = jnp.arange(tf.block_size)[None, :]
+    for j in range(L_z):
+        np.testing.assert_allclose(np.asarray(lg0), np.asarray(full[0][:, j]),
+                                   rtol=2e-4, atol=2e-4)
+        pos = cz[:, L_c + j, 0]
+        kv = blk <= (L_c + j - 1)
+        lg1, caches = tf.apply(params, caches, h0, pos, L_c + j - 1, kv,
+                               method=CondTupleGPT.decode_stage1)
+        np.testing.assert_allclose(np.asarray(lg1), np.asarray(full[1][:, j]),
+                                   rtol=2e-4, atol=2e-4)
+        caches, h0, lg0 = tf.apply(params, caches, cz[:, L_c + j, :],
+                                   extra[:, L_c + j], L_c + j, j,
+                                   blk <= (L_c + j),
+                                   method=CondTupleGPT.decode_stage0)
+
+
 def test_cond_padding_invisible(model_params, rep):
     """Extending cond padding (all masked) must not change the logits."""
     sf, params = model_params
@@ -173,6 +216,33 @@ def test_sampler_end_to_end(model_params):
             assert len(before) == 0 or before.max() <= cp
 
 
+def test_sampling_next_extra_matches_reference_recompute():
+    """The per-step gen-token extra must equal the reference's full
+    per-step get_extra_indices recompute over the converted sampled buffer
+    (shapeformer.py:78-87) — AR_RR feeds the RR delta of the new token,
+    RR_AR feeds the delta token itself (code-review r3: both got zeros)."""
+    from shapeformer_tpu.models.shapeformer.representers import (
+        AR_RR, RR_AR, AR_to_RR)
+
+    end = END[0]
+    ar_rr = AR_RR(voxel_res=RES, end_tokens=END, block_size=BLOCK)
+    # converted coding for AR_RR is AR absolutes
+    z_abs = jnp.asarray([[1, 4, 6, end]], jnp.int32)
+    want = np.asarray(AR_to_RR(z_abs, end))[0]
+    prev = jnp.asarray([end], jnp.int32)
+    for j in range(z_abs.shape[1]):
+        got = ar_rr.sampling_next_extra(None, z_abs[:, j], prev, jnp.int32(j))
+        assert int(got[0]) == int(want[j]), (j, got, want)
+        prev = z_abs[:, j]
+
+    rr_ar = RR_AR(voxel_res=RES, end_tokens=END, block_size=BLOCK)
+    # converted coding for RR_AR is RR deltas; extras are the deltas verbatim
+    z_rr = jnp.asarray([[1, 3, 2, end]], jnp.int32)
+    for j in range(z_rr.shape[1]):
+        got = rr_ar.sampling_next_extra(None, z_rr[:, j], None, jnp.int32(j))
+        assert int(got[0]) == int(z_rr[0, j])
+
+
 def test_loss_and_grads(model_params, rep):
     sf, params = model_params
     c = make_seq([[0, 3, 6]], [[5, 2, 9]])
@@ -196,15 +266,9 @@ def test_loss_and_grads(model_params, rep):
 
 
 # ----------------------------------------------------------------- AU (4-tuple)
-def test_au_sampler_end_to_end():
-    """AU (z, y, x, val) 4-tuple sampling through the generalized KV sampler
-    (reference representers.py:301-370): output positions are strictly
-    increasing in lexicographic (z, y, x) order and in-range after
-    conversion back to AR coding."""
-    R, V = 2, 16
+def _build_au(R=2, V=16, block=16):
     au_ends = (R, R, R, V)
     vocab = (R + 1, R + 1, R + 1, V + 1)
-    block = 16
     sf = ShapeFormer(
         tuple_n=4, block_size=block, end_tokens=au_ends,
         vocab_sizes=vocab, extra_vocab_sizes=(2,), voxel_res=R,
@@ -223,6 +287,43 @@ def test_au_sampler_end_to_end():
     params = jax.tree_util.tree_map(
         lambda x: x + 0.1 * jax.random.normal(jax.random.PRNGKey(1), x.shape,
                                               x.dtype), params)
+    return sf, params
+
+
+def test_au_train_matches_prefill_mask():
+    """AU training forward and the sampling prefill must see the SAME
+    attention mask over a padded condition (code-review r3: the training key
+    mask keyed off the AR input-coding end tokens, which never match a
+    converted AU 4-tuple, so training attended all padding while sampling
+    masked it — a silent train/sample mismatch).  The stage-0 logits at the
+    last condition row are computed by both paths; they must agree."""
+    from shapeformer_tpu.models.shapeformer.transformer.mingpt import (
+        CondTupleGPT as TF)
+    R, V = 2, 16
+    sf, params = _build_au(R, V)
+    rep = sf.representer
+    c_ar = make_seq([[0, 3]], [[5, 2]])          # 2 real tokens, 6 padded
+    z_ar = make_seq([[4, 6]], [[1, 7]])
+    c_au, z_au = rep.convert_input_indices(c_ar, z_ar)
+    extra = rep.get_extra_indices(c_au, z_au)
+    L_c = c_au.shape[1]
+    train_logits0 = sf.compute_logits(params, c_au, z_au, extra,
+                                      deterministic=True)[0][:, 0, :]
+    _, _, prefill_logits0 = sf.transformer.apply(
+        params, c_au, rep.get_extra_indices(c_au, c_au[:, :0, :]), L_c,
+        rep.cond_token_mask(c_au), method=TF.prefill)
+    np.testing.assert_allclose(np.asarray(train_logits0),
+                               np.asarray(prefill_logits0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_au_sampler_end_to_end():
+    """AU (z, y, x, val) 4-tuple sampling through the generalized KV sampler
+    (reference representers.py:301-370): output positions are strictly
+    increasing in lexicographic (z, y, x) order and in-range after
+    conversion back to AR coding."""
+    R, V = 2, 16
+    sf, params = _build_au(R, V)
 
     # condition: AR-coded (pos, val) tokens -> converted to AU 4-tuples
     c_ar = make_seq([[0, 3], [2]], [[5, 2], [7]])
@@ -332,3 +433,8 @@ def test_best_in_first_pins_every_condition(model_params):
     # the stochastic candidates must actually differ across keys (else the
     # determinism assertion above is vacuous)
     assert any(not np.array_equal(raw_a[i], raw_b[i]) for i in (1, 2, 4, 5))
+    # candidates=1: every row is candidate 0 of its own condition -> all pin
+    kw1 = dict(max_steps=6, top_k=4, top_p=0.9, best_in_first=True)
+    r1 = np.asarray(sf.sample(params, c, jax.random.PRNGKey(1), **kw1)[1])
+    r2 = np.asarray(sf.sample(params, c, jax.random.PRNGKey(5), **kw1)[1])
+    np.testing.assert_array_equal(r1, r2)
