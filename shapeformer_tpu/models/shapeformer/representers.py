@@ -342,8 +342,15 @@ class RR(ShapeRepresenter):
         if tuple_i == 1:
             dead = new_pos == end[0]
             forced = jnp.where(positions == end[1], 1.0, NEG_INF)
-            alive_logits = logits.at[:, end[1]].set(NEG_INF)
-            return jnp.where(dead[:, None], forced, alive_logits)
+            # NOTE: the reference APPEARS to mask the end value for alive
+            # rows (representers.py:245-246 `logits[alive_mask, end] = -inf`)
+            # but that assignment is dead code — the final
+            # `logits[alive_mask] = alive_logits` write-back (:267) restores
+            # the pre-mask copy taken at :241.  Effective reference
+            # semantics: alive rows may sample the end VALUE token; only the
+            # position element controls death.  Pinned by the golden RR
+            # trajectory test.
+            return jnp.where(dead[:, None], forced, logits)
         dead = (prev_pos == end[0]) & (step_j > 0)
         forced = jnp.where(positions == end[0], 1.0, NEG_INF)
         feasible = (self.voxel_res ** 3 - 1) - prev_pos_sum

@@ -349,3 +349,117 @@ def _lin(mod):
     if mod.bias is not None:
         out["bias"] = _t(mod.bias)
     return out
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MINGPT),
+                    reason="reference tree not present")
+@pytest.mark.parametrize("rep_name", ["RR", "RR_AR"])
+def test_rr_sampling_trajectory_matches_reference_torch(rep_name):
+    """Golden RR / RR_AR trajectories: the reference's delta-coded masker
+    (feasibility budget, no-zero-delta monotonicity, alive-rows-cannot-emit-
+    end-value) and, for RR_AR, its per-step extra-channel recompute (absolute
+    extras from the converted buffer) — against the KV-cached jax sampler at
+    argmax temperature, token for token."""
+    from shapeformer_tpu.models.shapeformer.shapeformer import ShapeFormer
+
+    ref_sf_mod, ref_repr = _import_reference_sampler()
+
+    torch.manual_seed(1)
+    # consistent coding: voxel_res=2 -> 8 raveled positions, end token 8;
+    # the feasibility budget (res^3-1 = 7) binds within a few steps.  The
+    # condition must be FULL length (real tokens + exactly one trailing
+    # end): the reference attends padding, this framework masks it, and the
+    # two coincide only at full length (see the AR trajectory test's note).
+    POS_V, VAL_V, BLOCK, MAXLEN = 9, 17, 12, 6
+    END = (8, 16)
+    RES = 2
+    kw = dict(vocab_sizes=(POS_V, VAL_V), extra_vocab_sizes=(POS_V,),
+              block_size=BLOCK, tuple_n=2, n_layers=(2, 1), n_head=2,
+              n_embd=32)
+    tf_kwargs = dict(kw, embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    sf_ref = ref_sf_mod.ShapeFormer(
+        tuple_n=2, block_size=BLOCK, end_tokens=END,
+        vocab_sizes=kw["vocab_sizes"],
+        extra_vocab_sizes=kw["extra_vocab_sizes"], voxel_res=RES,
+        transformer_opt={"class": "shapeformer.models.shapeformer"
+                                  ".transformer.mingpt.CondTupleGPT",
+                         "kwargs": tf_kwargs},
+        representer_opt={"class": "shapeformer.models.shapeformer"
+                                  ".representers.Representer", "kwargs": {}})
+
+    ref_cls = getattr(ref_repr, rep_name)
+
+    class _Rep(ref_cls):
+        def __init__(self):
+            torch.nn.Module.__init__(self)
+            self.voxel_res = RES
+            self.end_tokens = END
+            self.input_end_tokens = END
+            self.block_size = BLOCK
+            self.max_length = BLOCK // 2
+            self.uncond = False
+            self.no_val_ind = False
+            self.cloud_shrinkage = 1.0
+            self.mask_invalid = True
+            self.mask_invalid_completion = False
+
+    sf_ref.representer = _Rep()
+    sf_ref.transformer.eval()
+
+    import jax
+    import jax.numpy as jnp
+    sf = ShapeFormer(
+        tuple_n=2, block_size=BLOCK, end_tokens=END,
+        vocab_sizes=kw["vocab_sizes"],
+        extra_vocab_sizes=kw["extra_vocab_sizes"], voxel_res=RES,
+        transformer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                  ".transformer.mingpt.CondTupleGPT",
+                         "kwargs": dict(kw, cache_dtype=jnp.float32)},
+        representer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                  f".representers.{rep_name}",
+                         "kwargs": dict(voxel_res=RES, end_tokens=END,
+                                        block_size=BLOCK)})
+    params = {"params": _transfer_weights(sf_ref.transformer, kw)}
+
+    # AR-coded condition with one trailing end token, converted to the
+    # representer's delta coding on BOTH sides (get_indices would do this)
+    g = np.random.default_rng(11)
+    c_ar = np.zeros((2, MAXLEN, 2), np.int64)
+    c_ar[..., 0], c_ar[..., 1] = END
+    c_ar[0, :5, 0] = [0, 2, 3, 5, 7]
+    c_ar[1, :5, 0] = [1, 2, 4, 5, 6]
+    c_ar[0, :5, 1] = g.integers(0, VAL_V - 1, 5)
+    c_ar[1, :5, 1] = g.integers(0, VAL_V - 1, 5)
+    tc_ar = torch.from_numpy(c_ar)
+    tc, _ = sf_ref.representer.convert_input_indices(tc_ar, tc_ar[:, :0, :])
+
+    max_steps = 6
+    with torch.no_grad():
+        x_ref, hist = sf_ref.sample_indices(
+            c_indices=tc, z_indices=tc[:, :0, :], max_steps=max_steps,
+            top_k=1, top_p=0.001, temperature=1.0)
+    x_ref = x_ref.numpy()
+
+    toks, logp = sf.sample_indices(params, jnp.asarray(tc.numpy()),
+                                   jax.random.PRNGKey(0),
+                                   max_steps=max_steps, top_k=1, top_p=0.001)
+    toks, logp = np.asarray(toks), np.asarray(logp)
+
+    T_ref = x_ref.shape[1]
+    assert T_ref >= 1
+    np.testing.assert_array_equal(
+        toks[:, :T_ref, :], x_ref,
+        err_msg=f"{rep_name} sampled token trajectories differ")
+    assert (toks[:, T_ref:, 0] == END[0]).all()
+    assert (toks[:, T_ref:, 1] == END[1]).all()
+
+    want = np.zeros(2)
+    for i in range(2):
+        h = np.asarray(hist[i], np.float64)
+        m = h.max(-1, keepdims=True)
+        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
+        for b in range(2):
+            for j in range(T_ref):
+                want[b] += lp[b, j, x_ref[b, j, i]]
+    np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
+                               err_msg=f"{rep_name} log-probs differ")
