@@ -463,3 +463,108 @@ def test_rr_sampling_trajectory_matches_reference_torch(rep_name):
                 want[b] += lp[b, j, x_ref[b, j, i]]
     np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
                                err_msg=f"{rep_name} log-probs differ")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MINGPT),
+                    reason="reference tree not present")
+def test_au_sampling_trajectory_matches_reference_torch():
+    """Golden AU (z, y, x, val) 4-tuple trajectory: the reference's
+    lexicographic-growth masker and 4-stage generator protocol vs the
+    generalized KV-cached jax sampler, token for token at argmax."""
+    from shapeformer_tpu.models.shapeformer.shapeformer import ShapeFormer
+
+    ref_sf_mod, ref_repr = _import_reference_sampler()
+
+    torch.manual_seed(2)
+    R, V = 2, 16
+    AU_END = (R, R, R, V)
+    AR_END = (R ** 3, V)
+    vocab = (R + 1, R + 1, R + 1, V + 1)
+    BLOCK, MAXLEN = 12, 6
+    kw = dict(vocab_sizes=vocab, extra_vocab_sizes=(2,), block_size=BLOCK,
+              tuple_n=4, n_layers=(2, 1, 1, 1), n_head=2, n_embd=32)
+    tf_kwargs = dict(kw, embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    sf_ref = ref_sf_mod.ShapeFormer(
+        tuple_n=4, block_size=BLOCK, end_tokens=AU_END, vocab_sizes=vocab,
+        extra_vocab_sizes=(2,), voxel_res=R,
+        transformer_opt={"class": "shapeformer.models.shapeformer"
+                                  ".transformer.mingpt.CondTupleGPT",
+                         "kwargs": tf_kwargs},
+        representer_opt={"class": "shapeformer.models.shapeformer"
+                                  ".representers.Representer", "kwargs": {}})
+
+    class _AU(ref_repr.AU):
+        def __init__(self):
+            torch.nn.Module.__init__(self)
+            self.voxel_res = R
+            self.end_tokens = AU_END
+            self.input_end_tokens = AR_END
+            self.block_size = BLOCK
+            self.max_length = BLOCK // 2
+            self.uncond = False
+            self.no_val_ind = False
+            self.cloud_shrinkage = 1.0
+            self.mask_invalid = True
+            self.mask_invalid_completion = False
+            self.AR_end_token = R ** 3
+            self.AU_end_token = R
+
+    sf_ref.representer = _AU()
+    sf_ref.transformer.eval()
+
+    import jax
+    import jax.numpy as jnp
+    sf = ShapeFormer(
+        tuple_n=4, block_size=BLOCK, end_tokens=AU_END, vocab_sizes=vocab,
+        extra_vocab_sizes=(2,), voxel_res=R,
+        transformer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                  ".transformer.mingpt.CondTupleGPT",
+                         "kwargs": dict(kw, cache_dtype=jnp.float32)},
+        representer_opt={"class": "shapeformer_tpu.models.shapeformer"
+                                  ".representers.AU",
+                         "kwargs": dict(voxel_res=R, end_tokens=AU_END,
+                                        input_end_tokens=AR_END,
+                                        block_size=BLOCK)})
+    params = {"params": _transfer_weights(sf_ref.transformer, kw)}
+
+    # full-length AR condition (5 real + one trailing end), converted to AU
+    # 4-tuples on both sides
+    g = np.random.default_rng(13)
+    c_ar = np.zeros((2, MAXLEN, 2), np.int64)
+    c_ar[..., 0], c_ar[..., 1] = AR_END
+    c_ar[0, :5, 0] = [0, 2, 3, 5, 7]
+    c_ar[1, :5, 0] = [1, 2, 4, 5, 6]
+    c_ar[0, :5, 1] = g.integers(0, V - 1, 5)
+    c_ar[1, :5, 1] = g.integers(0, V - 1, 5)
+    tc_ar = torch.from_numpy(c_ar)
+    tc, _ = sf_ref.representer.convert_input_indices(tc_ar, tc_ar[:, :0, :])
+
+    max_steps = 6
+    with torch.no_grad():
+        x_ref, hist = sf_ref.sample_indices(
+            c_indices=tc, z_indices=tc[:, :0, :], max_steps=max_steps,
+            top_k=1, top_p=0.001, temperature=1.0)
+    x_ref = x_ref.numpy()
+
+    toks, logp = sf.sample_indices(params, jnp.asarray(tc.numpy()),
+                                   jax.random.PRNGKey(0),
+                                   max_steps=max_steps, top_k=1, top_p=0.001)
+    toks, logp = np.asarray(toks), np.asarray(logp)
+
+    T_ref = x_ref.shape[1]
+    assert T_ref >= 1
+    np.testing.assert_array_equal(toks[:, :T_ref, :], x_ref,
+                                  err_msg="AU sampled trajectories differ")
+    for i, e in enumerate(AU_END):
+        assert (toks[:, T_ref:, i] == e).all()
+
+    want = np.zeros(2)
+    for i in range(4):
+        h = np.asarray(hist[i], np.float64)
+        m = h.max(-1, keepdims=True)
+        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
+        for b in range(2):
+            for j in range(T_ref):
+                want[b] += lp[b, j, x_ref[b, j, i]]
+    np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
+                               err_msg="AU log-probs differ")
