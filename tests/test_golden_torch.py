@@ -353,7 +353,7 @@ def _lin(mod):
 
 @pytest.mark.skipif(not os.path.exists(REF_MINGPT),
                     reason="reference tree not present")
-@pytest.mark.parametrize("rep_name", ["RR", "RR_AR"])
+@pytest.mark.parametrize("rep_name", ["RR", "RR_AR", "AR_RR"])
 def test_rr_sampling_trajectory_matches_reference_torch(rep_name):
     """Golden RR / RR_AR trajectories: the reference's delta-coded masker
     (feasibility budget, no-zero-delta monotonicity, alive-rows-cannot-emit-
