@@ -57,6 +57,7 @@ struct Cand {
     double cost;
     int32_t a, b;       // vertex representatives at push time
     uint32_t va, vb;    // version stamps for lazy invalidation
+    uint8_t tries = 0;  // flip-rejection requeue count
     bool operator<(const Cand& o) const { return cost > o.cost; }  // min-heap
 };
 
@@ -183,9 +184,17 @@ struct Decimator {
                 || a == b)
                 continue;  // stale
             double pos[3];
-            collapse_cost(a, b, pos);
-            if (flips(a, b, pos) || flips(b, a, pos))
-                continue;  // drop; a neighbor collapse will re-seed this edge
+            double cost = collapse_cost(a, b, pos);
+            if (flips(a, b, pos) || flips(b, a, pos)) {
+                // penalty requeue (igl applies a cost penalty instead of
+                // dropping): neighbor collapses may make the edge viable
+                // later; without this, a region of flip-blocked edges can
+                // drain the heap and return far more faces than the target
+                if (e.tries < 3)
+                    heap.push({cost * 16.0 + 1e-12, a, b, ver[a], ver[b],
+                               (uint8_t)(e.tries + 1)});
+                continue;
+            }
             // collapse b into a at pos
             parent[b] = a;
             V[3*a]=pos[0]; V[3*a+1]=pos[1]; V[3*a+2]=pos[2];
@@ -221,11 +230,17 @@ int decimate_qem(const float* verts, int64_t n_verts,
                  int64_t target_faces,
                  float** verts_out, int64_t** faces_out,
                  int64_t* n_verts_out, int64_t* n_faces_out) {
+    if (n_verts < 0 || n_faces < 0 || n_verts > INT32_MAX) return -2;
     Decimator d;
     d.V.resize(3 * n_verts);
     for (int64_t i = 0; i < 3 * n_verts; ++i) d.V[i] = verts[i];
     d.F.resize(3 * n_faces);
-    for (int64_t i = 0; i < 3 * n_faces; ++i) d.F[i] = (int32_t)faces[i];
+    for (int64_t i = 0; i < 3 * n_faces; ++i) {
+        // reject out-of-range indices (corrupt/truncated input meshes) —
+        // they would read past V in find()/face_plane and crash the host
+        if (faces[i] < 0 || faces[i] >= n_verts) return -2;
+        d.F[i] = (int32_t)faces[i];
+    }
     d.run(target_faces);
     // compact: live faces with resolved reps, then referenced vertices
     std::vector<int64_t> vmap(n_verts, -1);
@@ -249,7 +264,11 @@ int decimate_qem(const float* verts, int64_t n_verts,
     *n_faces_out = (int64_t)FO.size() / 3;
     *verts_out = (float*)std::malloc(VO.size() * sizeof(float));
     *faces_out = (int64_t*)std::malloc(FO.size() * sizeof(int64_t));
-    if ((VO.size() && !*verts_out) || (FO.size() && !*faces_out)) return -1;
+    if ((VO.size() && !*verts_out) || (FO.size() && !*faces_out)) {
+        std::free(*verts_out); std::free(*faces_out);
+        *verts_out = nullptr; *faces_out = nullptr;
+        return -1;
+    }
     std::memcpy(*verts_out, VO.data(), VO.size() * sizeof(float));
     std::memcpy(*faces_out, FO.data(), FO.size() * sizeof(int64_t));
     return 0;

@@ -95,19 +95,32 @@ struct Mesher {
         return id;
     }
 
-    void tri(int64_t a, int64_t b, int64_t c) {
+    // Emit triangle (a, b, c), swapping b/c if needed so the geometric
+    // normal points along d = inside->outside: the 6-tet decomposition
+    // contains tets of BOTH parities, so case-order winding alone leaves
+    // ~half the faces inverted (CCW-from-outside is the contract,
+    // surface_nets.cpp:11-12).
+    void tri(int64_t a, int64_t b, int64_t c,
+             float dx, float dy, float dz) {
         if (a == b || b == c || a == c) return;  // degenerate (t clamped)
+        const float* A = &verts[3 * (size_t)a];
+        const float* B = &verts[3 * (size_t)b];
+        const float* C = &verts[3 * (size_t)c];
+        float ux = B[0] - A[0], uy = B[1] - A[1], uz = B[2] - A[2];
+        float vx = C[0] - A[0], vy = C[1] - A[1], vz = C[2] - A[2];
+        float nxn = uy * vz - uz * vy;
+        float nyn = uz * vx - ux * vz;
+        float nzn = ux * vy - uy * vx;
+        if (nxn * dx + nyn * dy + nzn * dz < 0.0f) std::swap(b, c);
         faces.push_back(a); faces.push_back(b); faces.push_back(c);
     }
 
-    // One tetrahedron given 4 grid-point index triples.
-    void tet(const int64_t p[4][3]) {
-        float v[4];
+    // One tetrahedron given 4 grid-point index triples and the 4 already-
+    // fetched grid values (avoids re-reading 4 corners per tet x 6 tets).
+    void tet(const int64_t p[4][3], const float v[4]) {
         int inside = 0, code = 0;
-        for (int i = 0; i < 4; ++i) {
-            v[i] = at(p[i][0], p[i][1], p[i][2]);
+        for (int i = 0; i < 4; ++i)
             if (v[i] > iso) { code |= 1 << i; ++inside; }
-        }
         if (inside == 0 || inside == 4) return;
         int in_idx[4], out_idx[4], ni = 0, no = 0;
         for (int i = 0; i < 4; ++i) {
@@ -117,17 +130,29 @@ struct Mesher {
             return edge_point(p[a][0], p[a][1], p[a][2],
                               p[b][0], p[b][1], p[b][2]);
         };
+        // inside->outside direction for orientation (grid coords)
+        float ix = 0, iy = 0, iz = 0, ox = 0, oy = 0, oz = 0;
+        for (int i = 0; i < ni; ++i) {
+            ix += p[in_idx[i]][0]; iy += p[in_idx[i]][1]; iz += p[in_idx[i]][2];
+        }
+        for (int i = 0; i < no; ++i) {
+            ox += p[out_idx[i]][0]; oy += p[out_idx[i]][1]; oz += p[out_idx[i]][2];
+        }
+        float dx = ox / no - ix / ni, dy = oy / no - iy / ni,
+              dz = oz / no - iz / ni;
         if (inside == 1) {
             int a = in_idx[0];
-            tri(ep(a, out_idx[0]), ep(a, out_idx[1]), ep(a, out_idx[2]));
+            tri(ep(a, out_idx[0]), ep(a, out_idx[1]), ep(a, out_idx[2]),
+                dx, dy, dz);
         } else if (inside == 3) {
             int a = out_idx[0];
-            tri(ep(a, in_idx[0]), ep(a, in_idx[2]), ep(a, in_idx[1]));
+            tri(ep(a, in_idx[0]), ep(a, in_idx[2]), ep(a, in_idx[1]),
+                dx, dy, dz);
         } else {  // 2 in, 2 out -> quad -> two triangles
             int a = in_idx[0], b = in_idx[1], c = out_idx[0], d = out_idx[1];
             int64_t ac = ep(a, c), ad = ep(a, d), bd = ep(b, d), bc = ep(b, c);
-            tri(ac, ad, bd);
-            tri(ac, bd, bc);
+            tri(ac, ad, bd, dx, dy, dz);
+            tri(ac, bd, bc, dx, dy, dz);
         }
     }
 
@@ -145,23 +170,27 @@ struct Mesher {
             i_base = i;
             for (int64_t j = 0; j + 1 < ny; ++j)
                 for (int64_t k = 0; k + 1 < nz; ++k) {
-                    // skip uniform cubes fast
+                    // skip uniform cubes fast; keep the 8 corner values for
+                    // the tets (the scattered loads dominate the profile)
                     bool any_in = false, any_out = false;
+                    float cv[8];
                     for (int c = 0; c < 8; ++c) {
-                        float val = at(i + corner[c][0], j + corner[c][1],
-                                       k + corner[c][2]);
-                        if (val > iso) any_in = true; else any_out = true;
+                        cv[c] = at(i + corner[c][0], j + corner[c][1],
+                                   k + corner[c][2]);
+                        if (cv[c] > iso) any_in = true; else any_out = true;
                     }
                     if (!any_in || !any_out) continue;
                     for (int t = 0; t < 6; ++t) {
                         int64_t p[4][3];
+                        float v[4];
                         for (int c = 0; c < 4; ++c) {
                             const int* off = corner[tets[t][c]];
                             p[c][0] = i + off[0];
                             p[c][1] = j + off[1];
                             p[c][2] = k + off[2];
+                            v[c] = cv[tets[t][c]];
                         }
-                        tet(p);
+                        tet(p, v);
                     }
                 }
         }
@@ -182,8 +211,11 @@ int marching_tets(const float* grid, int64_t nx, int64_t ny, int64_t nz,
     *n_faces = (int64_t)(m.faces.size() / 3);
     *verts_out = (float*)std::malloc(m.verts.size() * sizeof(float));
     *faces_out = (int64_t*)std::malloc(m.faces.size() * sizeof(int64_t));
-    if ((m.verts.size() && !*verts_out) || (m.faces.size() && !*faces_out))
+    if ((m.verts.size() && !*verts_out) || (m.faces.size() && !*faces_out)) {
+        std::free(*verts_out); std::free(*faces_out);
+        *verts_out = nullptr; *faces_out = nullptr;
         return -1;
+    }
     std::memcpy(*verts_out, m.verts.data(), m.verts.size() * sizeof(float));
     std::memcpy(*faces_out, m.faces.data(), m.faces.size() * sizeof(int64_t));
     return 0;

@@ -131,25 +131,31 @@ struct Raster {
 extern "C" {
 
 // cam: camPos(3) camLookat(3) camUp(3) camHeight(1).
-// face_colors: n_faces*3; cloud_colors: n_cloud*3.  ssaa in {1, 2, 3}.
+// face_colors: n_faces*3; cloud_colors: n_cloud*3; cloud_radii: n_cloud
+// (per-splat world radius, matching fresnel's per-geometry radii).
+// ssaa in {1, 2, 3}.
 int raster_scene(const float* verts, int64_t n_verts,
                  const int64_t* faces, int64_t n_faces,
                  const float* face_colors,
                  const float* cloud, int64_t n_cloud,
-                 const float* cloud_colors, float cloud_radius,
+                 const float* cloud_colors, const float* cloud_radii,
                  const float* cam, int W, int H, int ssaa,
                  unsigned char* out_rgb) {
-    static thread_local Raster r;
+    // per-call buffers: renders are sporadic observability work, so holding
+    // the ~W*H*ssaa^2*16 bytes resident between renders isn't worth it
+    Raster r;
     int SW = W * ssaa, SH = H * ssaa;
     r.setup(cam, SW, SH);
     for (int64_t f = 0; f < n_faces; ++f) {
         int64_t i0 = faces[f * 3], i1 = faces[f * 3 + 1], i2 = faces[f * 3 + 2];
-        if (i0 >= n_verts || i1 >= n_verts || i2 >= n_verts) continue;
+        if (i0 < 0 || i1 < 0 || i2 < 0
+            || i0 >= n_verts || i1 >= n_verts || i2 >= n_verts)
+            continue;
         r.triangle(verts + i0 * 3, verts + i1 * 3, verts + i2 * 3,
                    face_colors + f * 3);
     }
     for (int64_t p = 0; p < n_cloud; ++p)
-        r.splat(cloud + p * 3, cloud_radius, cloud_colors + p * 3);
+        r.splat(cloud + p * 3, cloud_radii[p], cloud_colors + p * 3);
     // box-filter downsample to the requested resolution
     float inv = 1.0f / (ssaa * ssaa);
     for (int py = 0; py < H; ++py)

@@ -138,6 +138,11 @@ int surface_nets(const float* grid, int64_t nx, int64_t ny, int64_t nz,
                  float iso, float** verts_out, int64_t** faces_out,
                  int64_t* n_verts, int64_t* n_faces) {
     static thread_local SNMesher m;  // buffers persist across calls
+    if (nx < 2 || ny < 2 || nz < 2) {  // no cells -> empty mesh (a negative
+        *n_verts = *n_faces = 0;       // cell count would wrap the allocator)
+        *verts_out = nullptr; *faces_out = nullptr;
+        return 0;
+    }
     m.grid = grid; m.nx = nx; m.ny = ny; m.nz = nz; m.iso = iso;
     m.vertex_pass();
     m.face_pass();
@@ -145,8 +150,11 @@ int surface_nets(const float* grid, int64_t nx, int64_t ny, int64_t nz,
     *n_faces = (int64_t)(m.faces.size() / 3);
     *verts_out = (float*)std::malloc(m.verts.size() * sizeof(float));
     *faces_out = (int64_t*)std::malloc(m.faces.size() * sizeof(int64_t));
-    if ((m.verts.size() && !*verts_out) || (m.faces.size() && !*faces_out))
+    if ((m.verts.size() && !*verts_out) || (m.faces.size() && !*faces_out)) {
+        std::free(*verts_out); std::free(*faces_out);
+        *verts_out = nullptr; *faces_out = nullptr;
         return -1;
+    }
     std::memcpy(*verts_out, m.verts.data(), m.verts.size() * sizeof(float));
     std::memcpy(*faces_out, m.faces.data(),
                 m.faces.size() * sizeof(int64_t));

@@ -111,6 +111,9 @@ def decimate_qem(verts: np.ndarray, faces: np.ndarray, target_faces: int):
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
         int(target_faces),
         ctypes.byref(vp), ctypes.byref(fp), ctypes.byref(nv), ctypes.byref(nf))
+    if rc == -2:
+        raise ValueError("decimate_qem: face index out of range "
+                         "(corrupt input mesh)")
     if rc != 0:
         raise MemoryError("decimate_qem allocation failed")
     try:

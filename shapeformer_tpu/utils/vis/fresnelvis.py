@@ -33,7 +33,8 @@ def _lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
         lib._configured = True
@@ -53,8 +54,7 @@ class FresnelRenderer:
     def __init__(self, camera_kwargs=None, lights="rembrandt", **unused):
         self.camera_opt = dict(dflt_camera, **(camera_kwargs or {}))
         self._verts, self._faces, self._fcolors = [], [], []
-        self._cloud, self._ccolors = [], []
-        self._cloud_r = 0.006
+        self._cloud, self._ccolors, self._cradii = [], [], []
         self._n_verts = 0
 
     # ------------------------------------------------------------- geometry
@@ -78,7 +78,10 @@ class FresnelRenderer:
                                     (cloud.shape[0], 3)).copy()
         self._cloud.append(cloud)
         self._ccolors.append(np.ascontiguousarray(color[:, :3], np.float32))
-        self._cloud_r = float(radius)
+        # per-cloud radius, like fresnel's per-geometry radii (a single
+        # scene-wide radius collapsed axes/bbox line thickness to whichever
+        # cloud was added last)
+        self._cradii.append(np.full(cloud.shape[0], float(radius), np.float32))
         return self
 
     def add_box(self, center, spec, color=None, solid=0.0, **unused):
@@ -139,6 +142,8 @@ class FresnelRenderer:
                  else np.zeros((0, 3), np.float32))
         ccol = (np.concatenate(self._ccolors) if self._ccolors
                 else np.zeros((0, 3), np.float32))
+        cradii = (np.concatenate(self._cradii) if self._cradii
+                  else np.zeros((0,), np.float32))
         out = np.empty((H, W, 3), np.uint8)
         fp = ctypes.POINTER(ctypes.c_float)
         rc = _lib().raster_scene(
@@ -146,7 +151,7 @@ class FresnelRenderer:
             faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             faces.shape[0], fcol.ctypes.data_as(fp),
             cloud.ctypes.data_as(fp), cloud.shape[0],
-            ccol.ctypes.data_as(fp), ctypes.c_float(self._cloud_r),
+            ccol.ctypes.data_as(fp), cradii.ctypes.data_as(fp),
             cam.ctypes.data_as(fp), W, H, ssaa,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
         assert rc == 0

@@ -129,3 +129,68 @@ def test_decimate_qem(sphere_mesh):
     v, f = geoutil.array2mesh(sdf.reshape(-1), thresh=0.0, if_decimate=True,
                               decimate_face=1000)
     assert len(f) <= 1000
+
+
+def test_marching_tets_winding_consistent(monkeypatch):
+    """Every directed edge appears exactly once (consistent CCW-from-outside
+    orientation AND watertightness) and the signed volume is positive and
+    near-analytic — the 6-tet decomposition contains tets of both parities,
+    so case-order winding alone inverts ~half the faces (code-review r3,
+    verified empirically: 12114 outward vs 10158 inward pre-fix)."""
+    monkeypatch.setenv("SFTPU_MESHER", "tets")
+    n = 32
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n, n, n]).reshape(n, n, n, 3)
+    occ = (np.linalg.norm(g, axis=-1) < 0.7).astype(np.float32)
+    vert, face = geoutil.array2mesh(occ.reshape(-1), thresh=0.5,
+                                    coords=g.reshape(-1, 3))
+    assert len(face) > 100
+    v0, v1, v2 = vert[face[:, 0]], vert[face[:, 1]], vert[face[:, 2]]
+    vol = np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum() / 6.0
+    expected = 4 / 3 * np.pi * 0.7 ** 3
+    assert abs(vol - expected) / expected < 0.15, vol
+    edges = np.concatenate([face[:, [0, 1]], face[:, [1, 2]], face[:, [2, 0]]])
+    keys = edges[:, 0].astype(np.int64) * len(vert) + edges[:, 1]
+    _, counts = np.unique(keys, return_counts=True)
+    assert (counts == 1).all(), "inconsistent winding (duplicate directed edge)"
+
+
+def test_native_input_guards():
+    """Corrupt inputs fail loudly instead of reading out of bounds."""
+    from shapeformer_tpu.utils.native import decimate_qem, surface_nets
+
+    vert = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    with pytest.raises(ValueError):
+        decimate_qem(vert, np.array([[0, 1, 99]], np.int64), 0)
+    with pytest.raises(ValueError):
+        decimate_qem(vert, np.array([[0, 1, -1]], np.int64), 0)
+    # a degenerate grid dimension yields an empty mesh, not a wrapped alloc
+    v, f = surface_nets(np.zeros((1, 5, 5), np.float32), 0.5)
+    assert v.shape == (0, 3) and f.shape == (0, 3)
+    # rasterizer ignores out-of-range face indices
+    from shapeformer_tpu.utils.vis import fresnelvis
+    r = fresnelvis.FresnelRenderer(camera_kwargs=dict(resolution=(32, 32)))
+    r.add_mesh(vert, np.array([[0, 1, -1], [0, 1, 2]], np.int64))
+    img = r.render()
+    assert img.shape == (32, 32, 3)
+
+
+def test_renderer_per_cloud_radius():
+    """Each cloud keeps its own splat radius (a single scene radius collapsed
+    axes/bbox line thickness to the last-added cloud's)."""
+    from shapeformer_tpu.utils.vis import fresnelvis
+
+    def render_big_then_small(r_big):
+        r = fresnelvis.FresnelRenderer(camera_kwargs=dict(
+            resolution=(64, 64), camPos=np.array([0, 0, 2.0]),
+            camHeight=2.0))
+        r.add_cloud(np.array([[-0.4, 0.0, 0.0]]), radius=r_big,
+                    color=np.array([1.0, 0, 0]))
+        r.add_cloud(np.array([[0.4, 0.0, 0.0]]), radius=0.02,
+                    color=np.array([0, 0, 1.0]))
+        img = r.render()
+        red = (img[..., 0] > 150) & (img[..., 2] < 100)
+        return red.sum()
+
+    # the first cloud's radius must drive ITS splat size even though a
+    # smaller cloud is added afterwards
+    assert render_big_then_small(0.3) > 4 * render_big_then_small(0.05)
