@@ -568,3 +568,52 @@ def test_au_sampling_trajectory_matches_reference_torch():
                 want[b] += lp[b, j, x_ref[b, j, i]]
     np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
                                err_msg="AU log-probs differ")
+
+
+REF_GEOUTIL = "/root/reference/xgutils/geoutil.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GEOUTIL),
+                    reason="reference tree not present")
+def test_hidden_point_removal_matches_reference():
+    """Golden HPR geometry (the virtual-scan selectors' core,
+    data/partial.py): exec the reference's sphericalFlip verbatim
+    (xgutils/geoutil.py:58-66) and require the same ConvexHull-visible
+    subset.  Note: the reference's own visible extraction
+    (`hull.vertices[:-1]`, :72) assumes qhull lists the appended origin
+    LAST — when it doesn't, the reference indexes out of bounds; this
+    framework filters `vertices < len(cloud)` instead, so the comparison
+    uses the index-safe extraction on the reference's flipped points."""
+    from scipy.spatial import ConvexHull
+
+    from shapeformer_tpu.utils import geoutil as our_geo
+
+    src = open(REF_GEOUTIL).read()
+    start = src.index("def sphericalFlip")
+    end = src.index("def hidden_point_removal")
+    ns = {"np": np}
+    exec(src[start:end], ns)                      # reference flip, verbatim
+    ref_flip = ns["sphericalFlip"]
+
+    rng = np.random.default_rng(3)
+    cloud = rng.normal(size=(400, 3))
+    cloud /= np.linalg.norm(cloud, axis=1, keepdims=True)   # unit sphere
+    cloud *= rng.uniform(0.8, 1.0, (400, 1))
+    campos = np.array([0.0, 0.0, 3.0])
+
+    flipped = ref_flip(cloud.copy(), np.array([campos]), np.pi)
+    pts = np.append(flipped, [[0, 0, 0]], axis=0)
+    hull = ConvexHull(pts)
+    want = set(int(v) for v in hull.vertices if v < len(cloud))
+
+    got = our_geo.hidden_point_removal(cloud, campos)
+    got_idx = set()
+    for p in got:
+        d = np.linalg.norm(cloud - p[None], axis=1)
+        got_idx.add(int(np.argmin(d)))
+    assert got_idx == want
+    # sanity: some points are occluded, and the hidden ones sit lower
+    # (away from the overhead camera) than the visible ones on average
+    assert 0 < len(want) < len(cloud)
+    hidden = sorted(set(range(len(cloud))) - want)
+    assert np.mean(cloud[hidden, 2]) < np.mean(cloud[list(want), 2])
