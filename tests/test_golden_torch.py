@@ -617,3 +617,77 @@ def test_hidden_point_removal_matches_reference():
     assert 0 < len(want) < len(cloud)
     hidden = sorted(set(range(len(cloud))) - want)
     assert np.mean(cloud[hidden, 2]) < np.mean(cloud[list(want), 2])
+
+
+REF_PTUTIL = "/root/reference/xgutils/ptutil.py"
+
+
+def _import_reference_ptutil():
+    import importlib.util
+    import sys
+    import types
+
+    for name in ("igl", "mcubes"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "xgutils" not in sys.modules:
+        xg = types.ModuleType("xgutils")
+        xg.nputil = types.ModuleType("xgutils.nputil")
+        xg.sysutil = types.ModuleType("xgutils.sysutil")
+        sys.modules["xgutils"] = xg
+        sys.modules["xgutils.nputil"] = xg.nputil
+        sys.modules["xgutils.sysutil"] = xg.sysutil
+    spec = importlib.util.spec_from_file_location("ref_ptutil", REF_PTUTIL)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PTUTIL),
+                    reason="reference tree not present")
+def test_ptutil_codecs_match_reference():
+    """Golden numeric parity for the data-side codecs the IMNet builders
+    depend on: z-order (Morton) ravel/unravel, cube un/folding, and the
+    256^3 -> 16^3-block vocab compression (ptutil.py:236-285,396-423)."""
+    from shapeformer_tpu.utils import nputil
+
+    ref = _import_reference_ptutil()
+    g = np.random.default_rng(4)
+
+    # z-order ravel/unravel
+    coords = g.integers(0, 8, (64, 3))
+    want = ref.ravel_index_zorder(torch.from_numpy(coords), depth=3).numpy()
+    got = np.asarray(nputil.ravel_index_zorder(coords, depth=3))
+    np.testing.assert_array_equal(got, want)
+
+    # unfold/fold cube roundtrip equivalence (the reference fold_cube only
+    # supports n_blocks == block_volume, the regime decompress_voxels uses)
+    vol = g.random((4, 4, 4)).astype(np.float32)
+    want_u = ref.unfold_cube(torch.from_numpy(vol), last_dims=3, size=2,
+                             step=2).numpy()
+    got_u = np.asarray(nputil.unfold_cube(vol, last_dims=3, size=2, step=2))
+    np.testing.assert_array_equal(got_u, want_u)
+    want_f = ref.fold_cube(torch.from_numpy(want_u), N=3).numpy()
+    got_f = np.asarray(nputil.fold_cube(got_u, N=3))
+    np.testing.assert_array_equal(got_f, want_f)
+
+    # 256^3 block compression (np.bool was removed from modern numpy; the
+    # reference uses it, so shim it for the call)
+    vox = np.zeros((256, 256, 256), np.float32)
+    vox[10:40, 50:90, 100:140] = 1.0          # empty + full + partial blocks
+    vox[0:16, 0:16, 0:16] = 1.0               # one exactly-full block
+    if not hasattr(np, "bool"):
+        np.bool = bool
+        added = True
+    else:
+        added = False
+    try:
+        want_vocab, want_idx = ref.compress_voxels(vox, packbits=True)
+    finally:
+        if added:
+            del np.bool
+    got_vocab, got_idx = nputil.compress_voxels(vox, packbits=True)
+    np.testing.assert_array_equal(got_idx, np.asarray(want_idx))
+    np.testing.assert_array_equal(got_vocab, np.asarray(want_vocab))
+    # and the decompression roundtrip restores the volume
+    back = nputil.decompress_voxels(got_vocab, got_idx)
+    np.testing.assert_array_equal(back.astype(np.float32), vox)
