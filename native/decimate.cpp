@@ -230,7 +230,9 @@ int decimate_qem(const float* verts, int64_t n_verts,
                  int64_t target_faces,
                  float** verts_out, int64_t** faces_out,
                  int64_t* n_verts_out, int64_t* n_faces_out) {
-    if (n_verts < 0 || n_faces < 0 || n_verts > INT32_MAX) return -2;
+    if (n_verts < 0 || n_faces < 0 || n_verts > INT32_MAX
+        || n_faces > INT32_MAX)
+        return -2;
     Decimator d;
     d.V.resize(3 * n_verts);
     for (int64_t i = 0; i < 3 * n_verts; ++i) d.V[i] = verts[i];

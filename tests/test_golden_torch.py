@@ -127,12 +127,12 @@ def _transfer_weights(tmodel, kw):
 REF_ROOT = "/root/reference"
 
 
-def _import_reference_sampler():
-    """Import the reference's ShapeFormer module (sampling loop + maskers)
-    with its unavailable heavy deps stubbed: pytorch_lightning (plain
-    nn.Module base), igl, and xgutils (only sysutil.progbar/load_object are
-    touched on the sampling path; common.py's nputil/ptutil uses live in
-    functions this test never calls)."""
+def _install_reference_stubs():
+    """Stub the reference tree's unavailable heavy deps: pytorch_lightning
+    (plain nn.Module base), igl, mcubes, and xgutils (only
+    sysutil.progbar/load_object are touched on the sampling path).  ONE
+    shared installer — a second, weaker stub would preempt this one via the
+    sys.modules guard and make the golden tests order-dependent."""
     import importlib
     import sys
     import types
@@ -148,6 +148,7 @@ def _import_reference_sampler():
         plm.Callback = type("Callback", (), {})
         sys.modules["pytorch_lightning"] = plm
     sys.modules.setdefault("igl", types.ModuleType("igl"))
+    sys.modules.setdefault("mcubes", types.ModuleType("mcubes"))
     if "xgutils" not in sys.modules:
         xg = types.ModuleType("xgutils")
         sysutil = types.ModuleType("xgutils.sysutil")
@@ -174,6 +175,28 @@ def _import_reference_sampler():
         sys.modules["xgutils.sysutil"] = sysutil
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+
+
+def _logp_from_hist(hist, x_ref):
+    """Accumulated log-prob of the sampled tokens under the reference's
+    masked logits history (its ranking key, shapeformer.py:407-418)."""
+    B, T_ref = x_ref.shape[0], x_ref.shape[1]
+    want = np.zeros(B)
+    for i in range(len(hist)):
+        h = np.asarray(hist[i], np.float64)
+        m = h.max(-1, keepdims=True)
+        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
+        for b in range(B):
+            for j in range(T_ref):
+                want[b] += lp[b, j, x_ref[b, j, i]]
+    return want
+
+
+def _import_reference_sampler():
+    """Reference ShapeFormer module (sampling loop + maskers), deps stubbed."""
+    import importlib
+
+    _install_reference_stubs()
     ref_sf = importlib.import_module(
         "shapeformer.models.shapeformer.shapeformer")
     ref_repr = importlib.import_module(
@@ -292,14 +315,7 @@ def test_sampling_trajectory_matches_reference_torch():
     # accumulated log-prob of the sampled tokens under the MASKED logits
     # (the ranking key; reference computes it from logits_history,
     # shapeformer.py:407-418)
-    want = np.zeros(2)
-    for i in range(2):                                       # tuple element
-        h = np.asarray(hist[i], np.float64)                  # (B, T_ref, V)
-        m = h.max(-1, keepdims=True)
-        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
-        for b in range(2):
-            for j in range(T_ref):
-                want[b] += lp[b, j, x_ref[b, j, i]]
+    want = _logp_from_hist(hist, x_ref)
     np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
                                err_msg="accumulated log-probs differ")
 
@@ -453,14 +469,7 @@ def test_rr_sampling_trajectory_matches_reference_torch(rep_name):
     assert (toks[:, T_ref:, 0] == END[0]).all()
     assert (toks[:, T_ref:, 1] == END[1]).all()
 
-    want = np.zeros(2)
-    for i in range(2):
-        h = np.asarray(hist[i], np.float64)
-        m = h.max(-1, keepdims=True)
-        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
-        for b in range(2):
-            for j in range(T_ref):
-                want[b] += lp[b, j, x_ref[b, j, i]]
+    want = _logp_from_hist(hist, x_ref)
     np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
                                err_msg=f"{rep_name} log-probs differ")
 
@@ -558,14 +567,7 @@ def test_au_sampling_trajectory_matches_reference_torch():
     for i, e in enumerate(AU_END):
         assert (toks[:, T_ref:, i] == e).all()
 
-    want = np.zeros(2)
-    for i in range(4):
-        h = np.asarray(hist[i], np.float64)
-        m = h.max(-1, keepdims=True)
-        lp = h - m - np.log(np.exp(h - m).sum(-1, keepdims=True))
-        for b in range(2):
-            for j in range(T_ref):
-                want[b] += lp[b, j, x_ref[b, j, i]]
+    want = _logp_from_hist(hist, x_ref)
     np.testing.assert_allclose(logp, want, rtol=1e-3, atol=1e-3,
                                err_msg="AU log-probs differ")
 
@@ -624,18 +626,8 @@ REF_PTUTIL = "/root/reference/xgutils/ptutil.py"
 
 def _import_reference_ptutil():
     import importlib.util
-    import sys
-    import types
 
-    for name in ("igl", "mcubes"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if "xgutils" not in sys.modules:
-        xg = types.ModuleType("xgutils")
-        xg.nputil = types.ModuleType("xgutils.nputil")
-        xg.sysutil = types.ModuleType("xgutils.sysutil")
-        sys.modules["xgutils"] = xg
-        sys.modules["xgutils.nputil"] = xg.nputil
-        sys.modules["xgutils.sysutil"] = xg.sysutil
+    _install_reference_stubs()
     spec = importlib.util.spec_from_file_location("ref_ptutil", REF_PTUTIL)
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
