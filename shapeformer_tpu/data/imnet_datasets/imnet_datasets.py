@@ -131,6 +131,33 @@ class Imnet2Dataset(_ImnetBase):
         return Xtg, Ytg.astype(np.float32)
 
 
+def balanced_sampling(Xbd, Xtg, Ytg, target_N=4096, x_dim=3, grid_dim=32,
+                      rng=None):
+    """v1 balanced target sampling (imnet_datasets.py:272-286): target_N//2
+    targets re-drawn at Xtg rows indexed by boundary-point draws, target_N//4
+    at occupied cells, target_N//4 at empty cells, plus the boundary points
+    themselves appended with soft label 0.5 — so the output has
+    1.5 * target_N rows, like the reference's concatenation."""
+    rng = rng or np.random.default_rng()
+    Ytg_flat = Ytg.reshape(-1)
+    inside_pos = np.where(Ytg_flat)[0]
+    outside_pos = np.where(1 - Ytg_flat)[0]
+    rdc_xbd = rng.integers(0, Xbd.shape[0], target_N // 2)
+    sub_Xbd = Xbd[rdc_xbd]
+    # the reference's np.random.choice errors on an empty side; all-empty /
+    # all-full grids fall back to the other side instead
+    inside = inside_pos if len(inside_pos) else outside_pos
+    outside = outside_pos if len(outside_pos) else inside_pos
+    rdc1 = inside[rng.integers(0, len(inside), target_N // 4)]
+    rdc2 = outside[rng.integers(0, len(outside), target_N // 4)]
+    choice = np.concatenate([rdc_xbd, rdc1, rdc2])
+    sub_Xtg = np.concatenate([Xtg[choice], sub_Xbd])
+    sub_Ytg = np.concatenate(
+        [Ytg.reshape(-1, 1)[choice],
+         np.full((sub_Xbd.shape[0], 1), 0.5, Ytg.dtype)])
+    return sub_Xtg, sub_Ytg
+
+
 def balanced_sampling2(Xbd, Xtg, Ytg, target_N=4096, x_dim=3, grid_dim=32,
                        random_scale=0.1, rng=None):
     """Half the targets drawn near the boundary cloud, half uniform

@@ -39,7 +39,16 @@ class ResnetBlockFC(nn.Module):
 class CBatchNorm1d(nn.Module):
     """Conditional batch norm: gamma/beta regressed from a latent code
     (layers.py:193-244).  Normalization is per-feature over (B, N) like the
-    torch BatchNorm1d it mirrors; conditioning via two Dense maps of c."""
+    torch BatchNorm1d it mirrors; conditioning via two Dense maps of c.
+
+    NOTE on the running-statistics path: no shipped config reaches these
+    blocks (the reference's CBatchNorm decoders are likewise unused by its
+    shipped configs, SURVEY.md section 2.1 row 21), so in-package nothing
+    passes use_running_average=True or marks 'batch_stats' mutable — the
+    path is exercised only by unit tests (tests/test_models.py).  A future
+    caller training through these blocks must mark 'batch_stats' mutable in
+    train steps, carry the collection through create_state/checkpointing,
+    and pass use_running_average=True at eval."""
     c_dim: int
     f_dim: int
     epsilon: float = 1e-5

@@ -183,9 +183,107 @@ class SDFModule(nn.Module):
         return nn.Dense(1, name="l_out")(h)
 
 
-# 1x1-conv variant over (B, N, C) sequences (networks.py:257-290); with
-# channels-last layout a 1x1 Conv1d IS a Dense, so it shares SDFModule.
-CSDFModule = SDFModule
+class Dense(nn.Module):
+    """Linear + optional BatchNorm1d + activation (networks.py:150-178).
+    activation in {None, 'relu', 'sigmoid'}, like the reference."""
+    out_channel: int
+    bn: bool = False
+    activation: Optional[str] = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        x = nn.Dense(self.out_channel, dtype=self.dtype, name="dense")(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=use_running_average,
+                             dtype=self.dtype, name="bn")(x)
+        if self.activation is None:
+            return x
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "sigmoid":
+            return nn.sigmoid(x)
+        raise NotImplementedError(
+            f"activation {self.activation} is not supported here")
+
+
+class CSDFModule(nn.Module):
+    """1x1-Conv1d SDF stack (networks.py:257-290).  With channels-last layout
+    a 1x1 Conv1d IS a Dense, so each l_i maps to nn.Dense; the reference
+    applies batch norm ONLY after l1 (bn_1, affine=False — bn_2..bn_6 are
+    constructed upstream but never called in forward, i.e. dead), which is
+    reproduced here.  Input/output (B, N, input_dim) -> (B, N, 1); the
+    reference's NCL transposes vanish in channels-last."""
+    input_dim: int = 3
+    beta: float = 100.0
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        latent_dim = 512
+        sp = SoftPlus(self.beta)
+        h = nn.Dense(latent_dim, name="l1")(x)
+        h = nn.BatchNorm(use_running_average=use_running_average,
+                         use_bias=False, use_scale=False, name="bn_1")(h)
+        h = sp(h)
+        h = sp(nn.Dense(latent_dim, name="l2")(h))
+        h = sp(nn.Dense(latent_dim, name="l3")(h))
+        h = sp(nn.Dense(latent_dim - self.input_dim, name="l4")(h))
+        h = jnp.concatenate([h, x], axis=-1)
+        h = sp(nn.Dense(latent_dim, name="l5")(h))
+        h = sp(nn.Dense(latent_dim, name="l6")(h))
+        h = sp(nn.Dense(latent_dim, name="l7")(h))
+        return nn.Dense(1, name="l_out")(h)
+
+
+class ImplicitModule2(nn.Module):
+    """Fixed 7-layer implicit MLP with optional input skip after l4 and
+    activation in {relu, softplus, sin} (networks.py:400-436).  The upstream
+    class cannot even be constructed (`self.net.append` on an undefined
+    attribute at networks.py:408-409 raises AttributeError); this implements
+    the evident intent — the same forward as the reference's ImplicitModule
+    (networks.py:328-364)."""
+    input_dim: int = 3
+    output_dim: int = 1
+    latent_dim: int = 512
+    activation: str = "softplus"
+    skip: bool = True
+
+    def _act(self, x):
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "softplus":
+            return nn.softplus(x * 100.0) / 100.0
+        if self.activation == "sin":
+            return jnp.sin(x)
+        raise KeyError(self.activation)
+
+    @nn.compact
+    def __call__(self, x):
+        h = self._act(nn.Dense(self.latent_dim, name="l1")(x))
+        h = self._act(nn.Dense(self.latent_dim, name="l2")(h))
+        h = self._act(nn.Dense(self.latent_dim, name="l3")(h))
+        l4_out = (self.latent_dim - self.input_dim if self.skip
+                  else self.latent_dim)
+        h = self._act(nn.Dense(l4_out, name="l4")(h))
+        if self.skip:
+            h = jnp.concatenate([h, x], axis=-1)
+        h = self._act(nn.Dense(self.latent_dim, name="l5")(h))
+        h = self._act(nn.Dense(self.latent_dim, name="l6")(h))
+        h = self._act(nn.Dense(self.latent_dim, name="l7")(h))
+        return nn.Dense(self.output_dim, name="l_out")(h)
+
+
+class NCLConv1d(nn.Module):
+    """Adapter presenting a channels-FIRST (B, C, N) module with a
+    channels-last (B, N, C) interface (networks.py:594-600).  flax convs are
+    channels-last natively, so this transposes around the wrapped module —
+    kept for API parity with callers holding reference-style NCL modules."""
+    module: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.transpose(self.module(jnp.transpose(x, (0, 2, 1))),
+                             (0, 2, 1))
 
 
 def build_sdfnetwork(input_dim=3, init_radius=0.0):

@@ -139,6 +139,17 @@ class ShapeFormer:
         the condition prefill runs once per row and the KV caches are tiled
         afterwards (the reference expands the condition batch up front,
         shapeformer.py:229, paying candidates x prefill).
+
+        best_in_first semantics (DIVERGES from the reference at
+        candidates=1): the reference pins only batch row 0 to argmax
+        (shapeformer.py:234); here every row whose index is a multiple of
+        `candidates` pins — i.e. the first candidate OF EVERY condition.  At
+        candidates=1 that is ALL rows, so a caller that pre-expanded one
+        condition into a candidate batch itself (as
+        callbacks/shapeformer_vis.py does) would get B identical
+        deterministic samples — such callers must pass an explicit
+        `best_rows` boolean mask (shape (B,), True = pin to argmax) instead
+        of best_in_first.
         """
         tf, rep = self.transformer, self.representer
         B, L_c, _ = c_indices.shape

@@ -85,9 +85,14 @@ class Generator3D:
         tau = min(max(float(self.threshold), 1e-5), 1 - 1e-5)
         logit_tau = float(np.log(tau / (1.0 - tau)))
         M = len(vert)
-        pad = (-M) % 4096
+        # pad to a power-of-two bucket (min 4096) so meshes of nearby sizes
+        # share one compiled program — per-4096 buckets compiled a fresh
+        # trace per distinct mesh size and the cache grew without bound
+        padded = 4096
+        while padded < M:
+            padded *= 2
         pts = np.concatenate([np.asarray(vert, np.float32),
-                              np.zeros((pad, 3), np.float32)])
+                              np.zeros((padded - M, 3), np.float32)])
         key = (pts.shape[0], steps)
         if key not in self._refine:
             def run(variables, grid_feat, pts):

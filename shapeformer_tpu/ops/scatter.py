@@ -99,14 +99,29 @@ def _seg_scan(vals, seg_start, mode: str, reverse: bool = False):
 
 _PALLAS_OK = {}   # (C, dtype) -> bool
 
-# Feature widths the mosaic scan kernel is validated on (v5e).  Probing an
-# arbitrary width by just compiling it is NOT safe: a failed/hung mosaic
-# compile was observed to poison the TPU client (subsequent unrelated
-# programs die with FAILED_PRECONDITION) or deadlock the axon tunnel — so
-# unknown widths take the XLA scan (within ~20% of pallas anyway) instead
-# of being probed.  Extend after validating on hardware, or force with
-# SFTPU_PALLAS_SCATTER=1.
-_PALLAS_KNOWN_C = (32,)
+# (device_kind substring, C) pairs the mosaic scan kernel is validated on.
+# Probing an arbitrary width — or validated widths on OTHER TPU generations —
+# by just compiling it is NOT safe: a failed/hung mosaic compile was observed
+# to poison the TPU client (subsequent unrelated programs die with
+# FAILED_PRECONDITION) or deadlock the axon tunnel — so unknown widths and
+# unvalidated hardware take the XLA scan (within ~20% of pallas anyway)
+# instead of being probed.  Extend after validating on hardware, or force
+# with SFTPU_PALLAS_SCATTER=1.
+_PALLAS_KNOWN = (("v5 lite", 32), ("v5e", 32))
+# seconds before an in-flight probe is declared hung and XLA scan is used
+_PALLAS_PROBE_TIMEOUT_S = 120.0
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind.lower()
+    except Exception:
+        return ""
+
+
+def _known_width(C: int) -> bool:
+    kind = _device_kind()
+    return any(k in kind and C == c for k, c in _PALLAS_KNOWN)
 
 
 def _pallas_ok(C: int, dtype) -> bool:
@@ -119,7 +134,7 @@ def _pallas_ok(C: int, dtype) -> bool:
     env = os.environ.get("SFTPU_PALLAS_SCATTER", "")
     if env in ("0", "1"):
         return env == "1"
-    if jax.default_backend() != "tpu" or int(C) not in _PALLAS_KNOWN_C:
+    if jax.default_backend() != "tpu" or not _known_width(int(C)):
         return False
     sig = (int(C), np.dtype(dtype).name)
     if sig not in _PALLAS_OK:
@@ -151,11 +166,18 @@ def _pallas_ok(C: int, dtype) -> bool:
         try:
             # usually reached while TRACING the encoder, where nothing can
             # run eagerly (omnistaging) — run the one-time check on a fresh
-            # thread, whose trace state is clean
+            # thread, whose trace state is clean.  The join is bounded: a
+            # hung mosaic compile must not hang the encoder's first call, so
+            # after the timeout the (daemon) probe is abandoned and this
+            # (C, dtype) is pinned to the XLA scan for the process lifetime.
             import threading
-            th = threading.Thread(target=_check)
+            th = threading.Thread(target=_check, daemon=True)
             th.start()
-            th.join()
+            th.join(timeout=_PALLAS_PROBE_TIMEOUT_S)
+            if th.is_alive():
+                print(f"[scatter] pallas probe timed out after "
+                      f"{_PALLAS_PROBE_TIMEOUT_S:.0f}s at C={sig[0]} "
+                      f"{sig[1]}; using XLA scan")
             if sig not in _PALLAS_OK:
                 _PALLAS_OK[sig] = False
         except Exception as e:

@@ -38,17 +38,28 @@ def step_lr_schedule(lr: float, optim_opt: dict, steps_per_epoch: int):
     raise NotImplementedError(f"Can not use scheduler:{sched}")
 
 
+def _with_grad_clip(tx, gradient_clip_val: float):
+    """PL's gradient_clip_val semantics (clip by global L2 norm before the
+    optimizer; reference pl.Trainer kwarg, trainer.py:31) as an optax chain.
+    0 / falsy disables, matching Lightning's default."""
+    if gradient_clip_val and float(gradient_clip_val) > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(float(gradient_clip_val)), tx)
+    return tx
+
+
 class VQDIFSystem:
     """Functional train/eval loop state for the VQDIF autoencoder."""
 
-    def __init__(self, pl_model_opt: dict, steps_per_epoch: int = 1000):
+    def __init__(self, pl_model_opt: dict, steps_per_epoch: int = 1000,
+                 gradient_clip_val: float = 0.0):
         self.hyper_parameters = dict(pl_model_opt.get("kwargs", {}))
         self.model: VQDIF = _config.instantiate_from_opt(pl_model_opt)
         optim_opt = self.model.optim_opt or {"lr": 1e-4, "scheduler": "None"}
         sched = step_lr_schedule(float(optim_opt["lr"]), optim_opt,
                                  steps_per_epoch)
         self._lr = sched if callable(sched) else (lambda step: sched)
-        self.tx = optax.adam(sched)
+        self.tx = _with_grad_clip(optax.adam(sched), gradient_clip_val)
         self.mesh = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -123,7 +134,8 @@ class VQDIFSystem:
 class ShapeFormerSystem:
     """Functional train/eval loop state for the conditional transformer."""
 
-    def __init__(self, pl_model_opt: dict, steps_per_epoch: int = 1000):
+    def __init__(self, pl_model_opt: dict, steps_per_epoch: int = 1000,
+                 gradient_clip_val: float = 0.0):
         from .models.shapeformer.shapeformer import ShapeFormer
         self.hyper_parameters = dict(pl_model_opt.get("kwargs", {}))
         self.model: ShapeFormer = _config.instantiate_from_opt(pl_model_opt)
@@ -133,8 +145,9 @@ class ShapeFormerSystem:
         # minGPT split (shapeformer.py:158-207): weight decay only on Dense
         # kernels; biases, LayerNorm scales, embeddings, pos embs are exempt.
         self._lr = lr if callable(lr) else (lambda step: lr)
-        self.tx = optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01,
-                              mask=self._decay_mask)
+        self.tx = _with_grad_clip(
+            optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01,
+                        mask=self._decay_mask), gradient_clip_val)
         self.mesh = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -254,11 +267,13 @@ def _device_batch(batch, mesh=None):
     return {k: jnp.asarray(v) for k, v in _filter_batch(batch).items()}
 
 
-def build_system(pl_model_opt: dict, steps_per_epoch: int = 1000):
+def build_system(pl_model_opt: dict, steps_per_epoch: int = 1000,
+                 gradient_clip_val: float = 0.0):
     """Dispatch a pl_model_opt to its system by model class name."""
     cls_name = pl_model_opt["class"].rsplit(".", 1)[-1]
     if cls_name == "VQDIF":
-        return VQDIFSystem(pl_model_opt, steps_per_epoch)
+        return VQDIFSystem(pl_model_opt, steps_per_epoch, gradient_clip_val)
     if cls_name == "ShapeFormer":
-        return ShapeFormerSystem(pl_model_opt, steps_per_epoch)
+        return ShapeFormerSystem(pl_model_opt, steps_per_epoch,
+                                 gradient_clip_val)
     raise ValueError(f"no system registered for model class {cls_name}")

@@ -147,7 +147,15 @@ class Trainer:
                     optim["lr"] = float(optim["lr"]) * self.num_devices
                     print(f"[trainer] auto lr scale: x{self.num_devices} "
                           f"-> {optim['lr']}")
-            self.system = build_system(opt, steps_per_epoch)
+            if self.trainer_opt.get("auto_lr_find"):
+                # PL would run an LR-range sweep here; this runner does not
+                # implement one — say so instead of silently ignoring it
+                print("[trainer] auto_lr_find is not supported by the jax "
+                      "runner; using the configured lr unchanged")
+            self.system = build_system(
+                opt, steps_per_epoch,
+                gradient_clip_val=float(
+                    self.trainer_opt.get("gradient_clip_val") or 0))
         return self.system
 
     def load_callbacks(self):

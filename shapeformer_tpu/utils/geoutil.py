@@ -33,10 +33,36 @@ def array2mesh(array, thresh: float = 0.0, dim: int = 3, coords=None,
     of the tet mesher), "surface_nets_jax" (the device-resident field pass in
     ops/surface_nets.py), or "tets" (native/marching_tets.cpp) —
     overridable via $SFTPU_MESHER.
+
+    gaussian_sigma pre-smooths the field before extraction (the reference's
+    array2mesh accepts the same kwarg, xgutils/geoutil.py:194-198 — it calls
+    mcubes.smooth, which ignores the sigma value; here the sigma IS honored
+    via a separable gaussian blur).  dim=2 runs marching squares and returns
+    (verts (K, 2), edges (M, 2)) like the reference's find_contours path
+    (geoutil.py:203-215), or (None, None) when the field never crosses
+    thresh.
     """
-    assert dim == 3, "only 3D meshing is supported"
+    if dim not in (2, 3):
+        raise ValueError(f"array2mesh supports dim 2 or 3, got {dim}")
     from .nputil import array2NDCube
-    grid = array2NDCube(np.asarray(array, np.float32), N=3)
+    grid = array2NDCube(np.asarray(array, np.float32), N=dim)
+    if gaussian_sigma is not None:
+        grid = _gaussian_blur(grid, float(gaussian_sigma))
+    if dim == 2:
+        verts, faces = _marching_squares(grid, float(thresh))
+        if verts is None:
+            return None, None
+        # match the reference's (col,row) swap + rescale (geoutil.py:213)
+        verts = verts[:, [1, 0]] / (grid.shape[0] - 1)
+        if coords is not None:
+            coords = np.asarray(coords).reshape(-1, 2)
+            bbmin, bbmax = coords.min(axis=0), coords.max(axis=0)
+        else:
+            bb = np.asarray(bbox if bbox is not None
+                            else [[-1, -1], [1, 1]], np.float64)
+            bbmin, bbmax = bb[0], bb[1]
+        verts = verts * (bbmax - bbmin) + bbmin
+        return verts.astype(np.float32), faces.astype(np.int64)
     method = method or os.environ.get("SFTPU_MESHER", "surface_nets")
     if method == "surface_nets":
         from .native import surface_nets
@@ -61,6 +87,79 @@ def array2mesh(array, thresh: float = 0.0, dim: int = 3, coords=None,
         bbmin, bbmax = bb[0], bb[1]
     verts = verts * (bbmax - bbmin) + bbmin
     return verts.astype(np.float32), faces.astype(np.int64)
+
+
+def _gaussian_blur(grid, sigma: float):
+    """Separable gaussian filter over an N-D grid (host numpy; replaces the
+    scipy.ndimage call the reference comments out at geoutil.py:195-197)."""
+    if sigma <= 0:
+        return grid
+    radius = max(int(round(3.0 * sigma)), 1)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    out = np.asarray(grid, np.float64)
+    for axis in range(out.ndim):
+        moved = np.moveaxis(out, axis, -1)
+        padded = np.pad(moved, [(0, 0)] * (out.ndim - 1) + [(radius, radius)],
+                        mode="edge")
+        moved = np.apply_along_axis(
+            lambda row: np.convolve(row, k, mode="valid"), -1, padded)
+        out = np.moveaxis(moved, -1, axis)
+    return out.astype(np.float32)
+
+
+# marching-squares segment table: corner bits c0=TL c1=TR c2=BR c3=BL (bit set
+# when value > thresh); entries are (cell edge, cell edge) pairs with edges
+# t(op)/r(ight)/b(ottom)/l(eft); ambiguous cases 5/10 split like skimage's
+# default ('low' connectivity)
+_MS_CASES = {
+    1: [("l", "t")], 2: [("t", "r")], 3: [("l", "r")], 4: [("r", "b")],
+    5: [("l", "t"), ("r", "b")], 6: [("t", "b")], 7: [("l", "b")],
+    8: [("b", "l")], 9: [("t", "b")], 10: [("t", "r"), ("b", "l")],
+    11: [("r", "b")], 12: [("l", "r")], 13: [("t", "r")], 14: [("l", "t")],
+}
+
+
+def _marching_squares(grid, thresh: float):
+    """2D iso-contour extraction -> (verts (K, 2) in (row, col) grid coords,
+    edges (M, 2) int segment list), or (None, None) with no crossing.  Host
+    counterpart of the reference's skimage.find_contours call
+    (xgutils/geoutil.py:203-212); vertices lie at linearly interpolated edge
+    crossings like find_contours', but segments come back as an edge list
+    rather than ordered closed loops (the reference immediately flattens its
+    loops into the same edge-list form)."""
+    g = np.asarray(grid, np.float64)
+    H, W = g.shape
+    inside = g > thresh
+
+    def _cross(v0, v1, p0, p1):
+        a = (thresh - v0) / (v1 - v0) if v1 != v0 else 0.5
+        return (p0[0] + a * (p1[0] - p0[0]), p0[1] + a * (p1[1] - p0[1]))
+
+    verts, edges = [], []
+    for i in range(H - 1):
+        for j in range(W - 1):
+            idx = (int(inside[i, j]) | int(inside[i, j + 1]) << 1
+                   | int(inside[i + 1, j + 1]) << 2
+                   | int(inside[i + 1, j]) << 3)
+            if idx in (0, 15):
+                continue
+            pts = {
+                "t": lambda: _cross(g[i, j], g[i, j + 1], (i, j), (i, j + 1)),
+                "r": lambda: _cross(g[i, j + 1], g[i + 1, j + 1],
+                                    (i, j + 1), (i + 1, j + 1)),
+                "b": lambda: _cross(g[i + 1, j], g[i + 1, j + 1],
+                                    (i + 1, j), (i + 1, j + 1)),
+                "l": lambda: _cross(g[i, j], g[i + 1, j], (i, j), (i + 1, j)),
+            }
+            for e0, e1 in _MS_CASES[idx]:
+                verts.append(pts[e0]())
+                verts.append(pts[e1]())
+                edges.append((len(verts) - 2, len(verts) - 1))
+    if not verts:
+        return None, None
+    return np.asarray(verts, np.float64), np.asarray(edges, np.int64)
 
 
 def decimate(vert, face, target_faces: int = 4096):

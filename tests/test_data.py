@@ -265,3 +265,120 @@ def test_dataloader_keeps_tail_batches():
     # train path may still opt in to dropping
     dl_drop = DataLoader(Tiny(), batch_size=4, drop_last=True)
     assert [b["x"].shape[0] for b in dl_drop] == [4, 4]
+
+
+def _load_reference_nputil():
+    """Load the REFERENCE's ragged H5 serializer (/root/reference/xgutils/
+    nputil.py:693-960) standalone, with a minimal xgutils.sysutil stub, so
+    files written by the reference's own writeh5 pin our readers."""
+    import importlib.util
+    import sys
+    import types
+
+    xg = types.ModuleType("xgutils")
+    su = types.ModuleType("xgutils.sysutil")
+    su.mkdirs = lambda *p, **k: [os.makedirs(x, exist_ok=True)
+                                 for x in p if x]
+    su.progbar = lambda it, *a, **kw: it
+    xg.sysutil = su
+    saved = {k: sys.modules.get(k) for k in ("xgutils", "xgutils.sysutil")}
+    sys.modules["xgutils"] = xg
+    sys.modules["xgutils.sysutil"] = su
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_nputil", "/root/reference/xgutils/nputil.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_h5_reads_reference_written_file(tmp_path, rng):
+    """Files serialized by the REFERENCE's writeh5 (xgutils/nputil.py:936-960,
+    serial ragged form) load item-exactly through our H5Var/readh5 — real
+    IMNet2_64 hdf5 datasets need no conversion (VERDICT r3 weak #4)."""
+    ref_nputil = _load_reference_nputil()
+    arrays = h5store.to_object_array(
+        [rng.normal(size=(5, 3)), rng.normal(size=(7, 3)),
+         rng.normal(size=(2, 3))])
+    ytg = h5store.to_object_array(
+        [np.packbits(rng.integers(0, 2, 32 ** 3).astype(np.uint8))
+         for _ in range(3)])
+    path = str(tmp_path / "ref.hdf5")
+    ref_nputil.writeh5(path, {"Xbd": arrays, "Ytg": ytg,
+                              "plain": np.arange(5),
+                              "cate_0": np.arange(3)}, quiet=True)
+
+    var = h5store.H5Var(path, "Xbd")
+    assert len(var) == 3
+    for i in range(3):
+        np.testing.assert_array_equal(var[i], arrays[i])
+    np.testing.assert_array_equal(var[[0, 2]][1], arrays[2])
+    yvar = h5store.H5Var(path, "Ytg")
+    np.testing.assert_array_equal(yvar[1], ytg[1])
+    back = h5store.readh5(path)
+    np.testing.assert_array_equal(back["plain"], np.arange(5))
+    for i in range(3):
+        np.testing.assert_array_equal(back["Xbd"][i], arrays[i])
+
+
+def test_lowres_dataset_reads_reference_written_file(tmp_path, rng,
+                                                     monkeypatch):
+    """Imnet2LowResDataset over a train/test pair written by the REFERENCE
+    serializer in IMNet2_64 layout (ragged Xbd + bit-packed Ytg + cate
+    subsets) produces well-formed items."""
+    from shapeformer_tpu.data.imnet_datasets.imnet_datasets import \
+        Imnet2LowResDataset
+
+    ref_nputil = _load_reference_nputil()
+    grid_dim = 32
+    for split, n in [("train", 3), ("test", 2)]:
+        clouds = h5store.to_object_array(
+            [rng.uniform(-0.8, 0.8, (256 + 16 * i, 3)).astype(np.float64)
+             for i in range(n)])
+        ytg = h5store.to_object_array(
+            [np.packbits(rng.integers(0, 2, grid_dim ** 3).astype(np.uint8))
+             for _ in range(n)])
+        ref_nputil.writeh5(
+            str(tmp_path / "datasets" / "RefIM_64" / f"{split}.hdf5"),
+            {"Xbd": clouds, "Ytg": ytg, "cate_0": np.arange(n)}, quiet=True)
+    monkeypatch.chdir(tmp_path)
+    ds = Imnet2LowResDataset(
+        dataset="RefIM_64", split="train", boundary_N=128, target_N=64,
+        grid_dim=grid_dim,
+        partial_opt={"class": "shapeformer.data.partial.BallSelector",
+                     "kwargs": dict(radius=0.4, context_N=64)})
+    assert len(ds) == 3
+    item = ds[1]
+    assert item["Xbd"].shape == (128, 3)
+    assert item["Xtg"].shape == (64, 3) and item["Ytg"].shape == (64, 1)
+    assert set(np.unique(item["Ytg"])) <= {0.0, 1.0}
+
+
+def test_balanced_sampling_v1(rng):
+    """balanced_sampling v1 (VERDICT r3 missing #4; reference
+    imnet_datasets.py:272-286): half boundary-indexed targets + quarter
+    inside + quarter outside + the boundary points themselves at label 0.5
+    -> 1.5 * target_N rows."""
+    from shapeformer_tpu.data.imnet_datasets.imnet_datasets import \
+        balanced_sampling
+
+    G = 16
+    Xtg = nputil.makeGrid([-1, -1, -1.0], [1.0, 1, 1], [G, G, G])
+    Ytg = (rng.uniform(size=(G ** 3, 1)) > 0.7).astype(np.float32)
+    Xbd = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    sx, sy = balanced_sampling(Xbd, Xtg, Ytg, target_N=64, grid_dim=G,
+                               rng=rng)
+    assert sx.shape == (96, 3) and sy.shape == (96, 1)
+    assert (sy[-32:] == 0.5).all()            # appended boundary points
+    assert (sy[32:48] == 1.0).all()           # inside quarter
+    assert (sy[48:64] == 0.0).all()           # outside quarter
+    # degenerate all-empty grid must not crash (reference would error)
+    sx2, sy2 = balanced_sampling(Xbd, Xtg, np.zeros((G ** 3, 1), np.float32),
+                                 target_N=64, grid_dim=G, rng=rng)
+    assert sx2.shape == (96, 3)

@@ -194,3 +194,56 @@ def test_renderer_per_cloud_radius():
     # the first cloud's radius must drive ITS splat size even though a
     # smaller cloud is added afterwards
     assert render_big_then_small(0.3) > 4 * render_big_then_small(0.05)
+
+
+def test_array2mesh_gaussian_sigma():
+    """gaussian_sigma pre-smooths the field before extraction (VERDICT r3
+    missing #3; reference kwarg at xgutils/geoutil.py:175,194-198).  A noisy
+    sphere field meshed with smoothing must come out with fewer faces and
+    vertices still near the r=0.6 sphere."""
+    n = 48
+    g = makeGrid([-1, -1, -1], [1, 1, 1], [n, n, n]).reshape(n, n, n, 3)
+    rng = np.random.default_rng(0)
+    sdf = 0.6 - np.linalg.norm(g, axis=-1) + rng.normal(0, 0.08, (n, n, n))
+    v_raw, f_raw = geoutil.array2mesh(sdf.reshape(-1), thresh=0.0)
+    v_sm, f_sm = geoutil.array2mesh(sdf.reshape(-1), thresh=0.0,
+                                    gaussian_sigma=1.5)
+    assert len(f_sm) < len(f_raw)            # noise shells removed
+    r = np.linalg.norm(v_sm, axis=1)
+    assert abs(np.median(r) - 0.6) < 0.08
+
+
+def test_array2mesh_2d_contour():
+    """dim=2 marching squares (VERDICT r3 missing #3; reference find_contours
+    path at xgutils/geoutil.py:203-215): a disc field yields an edge loop on
+    the r=0.5 circle; a crossing-free field returns (None, None)."""
+    n = 64
+    ax = np.linspace(-1, 1, n)
+    gx, gy = np.meshgrid(ax, ax, indexing="ij")
+    field = 0.5 - np.sqrt(gx ** 2 + gy ** 2)    # inside > 0
+    verts, edges = geoutil.array2mesh(field.reshape(-1), thresh=0.0, dim=2)
+    assert verts.shape[1] == 2 and edges.shape[1] == 2
+    r = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(r, 0.5, atol=2.5 / n)
+    # total contour length ~ 2*pi*r
+    seglen = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=1)
+    assert abs(seglen.sum() - 2 * np.pi * 0.5) < 0.1
+    # closed curve: segments cover the full angular range
+    ang = np.arctan2(verts[:, 1], verts[:, 0])
+    assert ang.max() - ang.min() > 5.8
+    none_v, none_e = geoutil.array2mesh(np.ones(n * n), thresh=0.0, dim=2)
+    assert none_v is None and none_e is None
+
+
+def test_array2mesh_2d_bbox_rescale():
+    """dim=2 vertices rescale into the coords/bbox frame like the 3D path."""
+    n = 32
+    ax = np.linspace(0, 4, n)
+    gx, gy = np.meshgrid(ax, ax, indexing="ij")
+    field = 1.0 - np.sqrt((gx - 2) ** 2 + (gy - 2) ** 2)
+    coords = np.stack([gx, gy], axis=-1).reshape(-1, 2)
+    verts, edges = geoutil.array2mesh(field.reshape(-1), thresh=0.0, dim=2,
+                                      coords=coords)
+    # the reference swaps to (col,row): distances to center survive the swap
+    r = np.linalg.norm(verts - 2.0, axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=4.0 / n)
