@@ -164,6 +164,110 @@ def bench_scatter():
     return results
 
 
+def bench_train():
+    """Training-path benchmark (VERDICT r3 #1): flagship ShapeFormer train
+    step (325M params, block 812, the real loss path incl. the frozen-VQDIF
+    tokenization of Xct 16384 + Xbd 32768 per row) and the VQDIF train step
+    at the reference's batch 8 (configs/vqdif/shapenet_res16.yaml:14,
+    boundary_N 32768 / target_N 8192).  bf16 compute with f32 master weights
+    (flax param_dtype default).  Reports step time, tokens/s and analytic
+    matmul MFU vs the v5e bf16 peak.  Batch 8 for the transformer too — the
+    reference's batch 1 (shapenet_scale.yaml:14) underfills the chip; the
+    per-step weight stream amortizes across rows.
+    Opt out with SFTPU_BENCH_TRAIN=0."""
+    import optax
+    from shapeformer_tpu.systems import ShapeFormerSystem, VQDIFSystem
+
+    V5E_BF16_PEAK = 197e12
+    B, T = 8, 812
+    vqdif, sf_q, sf_f = build()
+    sf = sf_f if sf_f is not None else sf_q   # float weights for training
+    rng = jax.random.PRNGKey(0)
+    cloud = jax.random.uniform(rng, (1, 32768, 3), minval=-0.8, maxval=0.8)
+    vq_vars = jax.jit(lambda r, c: vqdif.init(r, c, c[:, :4096]))(rng, cloud)
+    sf.representer.set_vqdif(vqdif, vq_vars)
+
+    def steps_per_s(system, state, batch, rng_arg, n=6):
+        args = (jax.random.PRNGKey(3),) if rng_arg else ()
+        state, m = system.train_step(state, batch, *args)   # compile
+        _sync(m)
+        for _ in range(2):
+            state, m = system.train_step(state, batch, *args)
+        _sync(m)
+        t0 = time.time()
+        for _ in range(n):
+            state, m = system.train_step(state, batch, *args)
+        _sync(m)
+        return (time.time() - t0) / n
+
+    # --- flagship ShapeFormer train step (bf16 path of build()) ---
+    sf_sys = ShapeFormerSystem.__new__(ShapeFormerSystem)
+    sf_sys.model, sf_sys.mesh = sf, None
+    sf_sys._lr = lambda s: 1e-5
+    sf_sys.tx = optax.adamw(1e-5, b1=0.9, b2=0.95, weight_decay=0.01,
+                            mask=ShapeFormerSystem._decay_mask)
+    sf_sys._train_step = jax.jit(sf_sys._train_step_impl, donate_argnums=(0,))
+    params = sf.init_variables(jax.random.PRNGKey(1))
+    n_mat = sum(int(np.prod(l.shape)) for p, l in
+                jax.tree_util.tree_leaves_with_path(params)
+                if getattr(p[-1], "key", getattr(p[-1], "name", "")) ==
+                "kernel")
+    state = dict(params=params, opt_state=sf_sys.tx.init(params["params"]),
+                 step=jnp.int32(0))
+    batch = dict(Xct=jnp.tile(cloud[:, :16384], (B, 1, 1)),
+                 Xbd=jnp.tile(cloud, (B, 1, 1)))
+    t0 = time.time()
+    sf_step_s = steps_per_s(sf_sys, state, batch, rng_arg=True)
+    flops = 6 * n_mat * B * T + 12 * 24 * B * T * T * 1024
+    sf_mfu = flops / sf_step_s / V5E_BF16_PEAK
+    log(f"train SF (B{B}, tokenize+fwd+bwd+adamw): {sf_step_s*1e3:.1f} "
+        f"ms/step  {B*T/sf_step_s:.0f} tok/s  MFU {sf_mfu*100:.1f}% "
+        f"(bench total {time.time()-t0:.0f}s)")
+
+    # --- VQDIF train step at reference batch 8 ---
+    vq_sys = VQDIFSystem.__new__(VQDIFSystem)
+    vq_sys.model, vq_sys.mesh = vqdif, None
+    vq_sys.hyper_parameters = {}
+    vq_sys._lr = lambda s: 1e-4
+    vq_sys.tx = optax.adam(1e-4)
+    vq_sys._train_step = jax.jit(vq_sys._train_step_impl, donate_argnums=(0,))
+    vbatch = dict(
+        Xbd=jax.random.uniform(rng, (B, 32768, 3), minval=-0.8, maxval=0.8),
+        Xtg=jax.random.uniform(rng, (B, 8192, 3), minval=-1, maxval=1),
+        Ytg=(jax.random.uniform(rng, (B, 8192, 1)) > 0.5
+             ).astype(jnp.float32))
+    variables = jax.jit(lambda r: vqdif.init(r, vbatch["Xbd"][:1],
+                                             vbatch["Xtg"][:1]))(rng)
+    vstate = dict(params=variables["params"], vq=variables["vq"],
+                  opt_state=vq_sys.tx.init(variables["params"]),
+                  step=jnp.int32(0))
+    vq_step_s = steps_per_s(vq_sys, vstate, vbatch, rng_arg=False)
+    log(f"train VQDIF (B{B}, 32768 pts / 8192 targets): "
+        f"{vq_step_s*1e3:.1f} ms/step  {B/vq_step_s:.1f} shapes/s")
+
+    # --- grid-build ablation: duplicate-index scatter-add vs sorted unique
+    # stores (the round-4 encoder optimization; ops/scatter.py) ---
+    from shapeformer_tpu.ops import scatter
+    key = jax.random.PRNGKey(5)
+    c = jax.random.normal(key, (B, 49152, 32), jnp.bfloat16)
+    ids = jax.random.randint(key, (B, 49152), 0, 64 ** 3)
+    plan = jax.jit(scatter.pool_plan)(ids)
+    old = jax.jit(lambda c, i: scatter.scatter_mean(c, i, 64 ** 3))
+    new = jax.jit(lambda c, i, p: scatter.scatter_mean_sorted(c, i, p,
+                                                              64 ** 3))
+    jax.block_until_ready(old(c, ids)); jax.block_until_ready(new(c, ids, plan))
+    t_old, _ = _median_time(lambda: old(c, ids), n=3)
+    t_new, _ = _median_time(lambda: new(c, ids, plan), n=3)
+    log(f"grid build (B8 x 49k pts -> 64^3): scatter-add {t_old*1e3:.1f} ms "
+        f"-> sorted unique-store {t_new*1e3:.1f} ms")
+    return {"sf_train_step_s": round(sf_step_s, 4),
+            "sf_tokens_per_s": round(B * T / sf_step_s, 1),
+            "sf_train_mfu": round(sf_mfu, 4),
+            "vqdif_train_step_s": round(vq_step_s, 4),
+            "grid_build_scatter_ms": round(t_old * 1e3, 2),
+            "grid_build_sorted_ms": round(t_new * 1e3, 2)}
+
+
 def main():
     from shapeformer_tpu.ops import sparse as sparse_ops
     from shapeformer_tpu.models.vqdif.vqdif import VQDIF
@@ -173,6 +277,9 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
     bench_scatter()
+    train_metrics = {}
+    if __import__("os").environ.get("SFTPU_BENCH_TRAIN", "1") == "1":
+        train_metrics = bench_train()
     vqdif, sf, sf_float = build()
 
     rng = jax.random.PRNGKey(0)
@@ -365,7 +472,8 @@ def main():
                          "max_interval_s": round(max_interval_s, 4),
                          "sequential_latency_s": round(latency_s, 4),
                          f"batched{S}_sample_s_per_shape":
-                             round(batched_s / S, 4)}}
+                             round(batched_s / S, 4)},
+              "train": train_metrics}
     print(json.dumps(result))
 
 

@@ -122,7 +122,8 @@ class ShapeFormer:
     def sample_indices(self, params, c_indices, rng, max_steps: int = 512,
                        top_k: int = 100, top_p: float = 0.8,
                        temperature: float = 1.0, best_in_first: bool = False,
-                       candidates: int = 1, best_rows=None):
+                       candidates: int = 1, best_rows=None,
+                       split_cond_cache: bool = True):
         """KV-cached AR sampling (semantics of shapeformer.py:55-123).
 
         c_indices: (B, max_length, tuple_n) padded condition tokens (in input
@@ -166,16 +167,24 @@ class ShapeFormer:
         cond_valid_blk = jnp.pad(cond_valid, ((0, 0), (0, block - L_c)))
         arange_blk = jnp.arange(block)[None, :]
 
+        # split-cache serving (candidates > 1): prefill stays at S condition
+        # rows and decode attends a shared cond segment + per-candidate gen
+        # segment (mingpt decode_split) instead of tiling the full caches —
+        # the per-step KV stream drops by ~the cond fraction per candidate.
+        use_split = split_cond_cache and candidates > 1
+        Tc8 = -(-L_c // 8) * 8
         caches, h0, logits0 = tf.apply(
             params, c_indices, extra_c, L_c, cond_valid,
+            cache_len=Tc8 if use_split else None,
             method=type(tf).prefill)
 
         if candidates > 1:
             # tile the per-row prefill results to B * candidates sample rows
             def tile(x, axis):
                 return jnp.repeat(x, candidates, axis=axis)
-            caches = [[(tile(k, 0), tile(v, 0)) for k, v in stage]
-                      for stage in caches]
+            if not use_split:
+                caches = [[(tile(k, 0), tile(v, 0)) for k, v in stage]
+                          for stage in caches]
             h0, logits0 = tile(h0, 0), tile(logits0, 0)
             cond_pos = tile(cond_pos, 0)
             cond_valid_blk = tile(cond_valid_blk, 0)
@@ -184,6 +193,32 @@ class ShapeFormer:
         def key_valid_upto(index):
             gen = (arange_blk >= L_c) & (arange_blk <= index)
             return cond_valid_blk | gen
+
+        if use_split:
+            # gen segments: stage 0 slot j holds position L_c+j; stages >= 1
+            # slot j holds position L_c+j-1 (slot 0 = the per-candidate
+            # rewrite of the last prefix position, see mingpt.prefill notes)
+            G8 = -(-max_gen // 8) * 8
+            C_embd = tf.n_embd
+            zeros_g = jnp.zeros((B, G8, C_embd), tf.cache_dtype)
+            gen_caches = [[(zeros_g, zeros_g) for _ in stage]
+                          for stage in caches]
+            cond_valid8 = jnp.pad(cond_valid, ((0, 0), (0, Tc8 - L_c)))
+            cv_last = cond_valid[:, L_c - 1]            # (S,)
+            # stages >= 1 read position L_c-1 from gen slot 0, not cond
+            cond_valid8_s1 = cond_valid8.at[:, L_c - 1].set(False)
+            cv_last_tiled = jnp.repeat(cv_last, candidates, axis=0)  # (B,)
+            arange_g = jnp.arange(G8)[None, :]
+
+            def gen_valid0(j):                          # stage-0 decode
+                return arange_g <= j
+
+            def gen_valid1(j):                          # stage >= 1 decode
+                return (arange_g <= j) & ((arange_g > 0)
+                                          | cv_last_tiled[:, None])
+
+            cond_caches = caches        # frozen (S-row) prefill segments
+            caches = gen_caches         # the while_loop carries only these
 
         gen_buf = jnp.stack(
             [jnp.full((B, max_gen), e, jnp.int32) for e in ends], axis=-1)
@@ -212,7 +247,7 @@ class ShapeFormer:
             keys = jax.random.split(key, n + 1)
             key = keys[0]
             idx1 = L_c + j - 1
-            kv1 = key_valid_upto(idx1)
+            kv1 = None if use_split else key_valid_upto(idx1)
             # --- element 0 from the running stage-0 logits ---
             m = rep.mask_element(logits0, 0, j, prev_token, (), cond_pos,
                                  prev_sum)
@@ -221,9 +256,15 @@ class ShapeFormer:
             h = h0
             # --- elements 1..n-1 via their stages, fed element i-1 ---
             for i in range(1, n):
-                logits_i, h, caches = tf.apply(
-                    params, caches, h, cur[-1], i, idx1, kv1,
-                    method=type(tf).decode_stage_i)
+                if use_split:
+                    logits_i, h, caches = tf.apply(
+                        params, cond_caches, caches, h, cur[-1], i, j,
+                        cond_valid8_s1, gen_valid1(j),
+                        method=type(tf).decode_stage_i_split)
+                else:
+                    logits_i, h, caches = tf.apply(
+                        params, caches, h, cur[-1], i, idx1, kv1,
+                        method=type(tf).decode_stage_i)
                 m = rep.mask_element(logits_i, i, j, prev_token, cur,
                                      cond_pos, prev_sum)
                 elem, lp_i = pick(keys[1 + i], m)
@@ -236,9 +277,15 @@ class ShapeFormer:
             extra_new = rep.sampling_next_extra(
                 cond_pos, cur[0], prev_token[:, 0], j)[:, None]
             idx0 = L_c + j
-            caches, h0, logits0 = tf.apply(
-                params, caches, token, extra_new, idx0, j,
-                key_valid_upto(idx0), method=type(tf).decode_stage0)
+            if use_split:
+                caches, h0, logits0 = tf.apply(
+                    params, cond_caches, caches, token, extra_new, idx0, j,
+                    cond_valid8, gen_valid0(j),
+                    method=type(tf).decode_stage0_split)
+            else:
+                caches, h0, logits0 = tf.apply(
+                    params, caches, token, extra_new, idx0, j,
+                    key_valid_upto(idx0), method=type(tf).decode_stage0)
             new_sum = prev_sum + jnp.where(cur[0] == e0, 0, cur[0])
             return (caches, h0, logits0, buf, token, new_sum, j + 1,
                     logp + lp, key)

@@ -123,6 +123,62 @@ class CausalSelfAttention(nn.Module):
         return self.proj(y), cache_k, cache_v
 
 
+    def decode_split(self, x_new, cond_k, cond_v, gen_k, gen_v, gen_index,
+                     cond_valid, gen_valid):
+        """Single-position decode against a TWO-SEGMENT cache: a condition
+        segment shared by all candidates of a condition plus a per-row
+        generation segment.
+
+        Batched serving flattens past S~8 because the per-step KV stream
+        scales with rows (PERF.md), and the cond half of every tiled cache
+        is byte-identical across the `candidates` rows of its condition
+        (sample_indices tiles the prefilled caches).  Splitting the cache
+        reads the cond segment ONCE per condition: KV bytes/step drop from
+        rows * (Tc+Tg) * C * 2 to (S*Tc + rows*Tg) * C * 2 — ~45% at
+        candidates=8 with the flagship's Tc ~= Tg ~= 406.
+
+        x_new: (B, 1, C) with B = S * candidates (candidate rows of one
+        condition contiguous); cond_k/v: (S, Tc, C) frozen prefill caches;
+        gen_k/v: (B, Tg, C); gen_index: scalar write slot in the gen
+        segment; cond_valid: (S, Tc) bool; gen_valid: (B or 1, Tg) bool.
+        Same layout rules as decode() — heads unsplit, channel minor,
+        block-diagonal queries.  Returns (y (B,1,C), gen_k, gen_v).
+        """
+        B, _, C = x_new.shape
+        S, Tc, _ = cond_k.shape
+        G = B // S
+        H = self.n_head
+        D = C // H
+        qkv = self.qkv(x_new)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        gen_k = jax.lax.dynamic_update_slice(
+            gen_k, k.astype(gen_k.dtype), (0, gen_index, 0))
+        gen_v = jax.lax.dynamic_update_slice(
+            gen_v, v.astype(gen_v.dtype), (0, gen_index, 0))
+        Tg = gen_k.shape[1]
+        scale = jnp.asarray(1.0 / jnp.sqrt(jnp.float32(D)), self.dtype)
+        eye = jnp.eye(H, dtype=self.dtype)
+        qh = q.reshape(B, H, D) * scale
+        qb = (qh[:, :, None, :] * eye[None, :, :, None]).reshape(B, H, C)
+        # cond segment: all candidates of a condition share one (Tc, C) read
+        qs = qb.reshape(S, G * H, C)
+        attc = jnp.einsum("sgc,stc->sgt", qs, cond_k.astype(self.dtype))
+        attc = jnp.where(cond_valid[:, None, :], attc,
+                         jnp.asarray(NEG_INF, attc.dtype)).reshape(B, H, Tc)
+        attg = jnp.einsum("bhc,btc->bht", qb, gen_k.astype(self.dtype))
+        attg = jnp.where(gen_valid[:, None, :], attg,
+                         jnp.asarray(NEG_INF, attg.dtype))
+        att = jax.nn.softmax(
+            jnp.concatenate([attc, attg], axis=-1).astype(jnp.float32),
+            axis=-1).astype(self.dtype)
+        wc, wg = att[..., :Tc], att[..., Tc:]
+        yc = jnp.einsum("sgt,stc->sgc", wc.reshape(S, G * H, Tc),
+                        cond_v.astype(self.dtype)).reshape(B, H, C)
+        yg = jnp.einsum("bht,btc->bhc", wg, gen_v.astype(self.dtype))
+        y = jnp.einsum("bhgd,hg->bhd", (yc + yg).reshape(B, H, H, D), eye)
+        return self.proj(y.reshape(B, 1, C)), gen_k, gen_v
+
+
 class Block(nn.Module):
     n_embd: int
     n_head: int
@@ -161,6 +217,14 @@ class Block(nn.Module):
                                      index, key_valid)
         x = x_new + a
         return x + self._mlp(self.ln2(x), True), ck, cv
+
+    def decode_split(self, x_new, cond_k, cond_v, gen_k, gen_v, gen_index,
+                     cond_valid, gen_valid):
+        a, gk, gv = self.attn.decode_split(self.ln1(x_new), cond_k, cond_v,
+                                           gen_k, gen_v, gen_index,
+                                           cond_valid, gen_valid)
+        x = x_new + a
+        return x + self._mlp(self.ln2(x), True), gk, gv
 
 
 class Head(nn.Module):
@@ -292,7 +356,8 @@ class CondTupleGPT(nn.Module):
         sublane rows; the tail is key-masked."""
         return -(-self.block_size // 8) * 8
 
-    def prefill(self, idx, extra_idx, L_cond: int, key_valid):
+    def prefill(self, idx, extra_idx, L_cond: int, key_valid,
+                cache_len: Optional[int] = None):
         """Run the full prefix once, filling caches for every stage.
 
         idx: (B, P, tuple_n) prefix tokens (P < block_size).  Stage i+1's
@@ -300,14 +365,18 @@ class CondTupleGPT(nn.Module):
         last prefix position P-1 is NOT processed by stages > 0 (its stage-1
         input depends on the yet-unsampled position token); decode_stage1
         handles it.  Returns (caches, h0_last (B, C), logits0_last (B, V0)).
+
+        cache_len overrides the cache T extent (default cache_block): the
+        split-cache decode path right-sizes the cond segment to round8(P).
         """
         B, P, _ = idx.shape
         x = self.get_embeddings(idx, extra_idx, L_cond)
         mask = self._attn_mask(P, key_valid)
+        extent = self.cache_block if cache_len is None else cache_len
 
-        def pad_kv(k):  # (B, P, H, D) -> (B, cache_block, C) decode layout
+        def pad_kv(k):  # (B, P, H, D) -> (B, extent, C) decode layout
             kf = k.reshape(B, P, -1)                   # undo _split_heads
-            return jnp.pad(kf, ((0, 0), (0, self.cache_block - P), (0, 0))
+            return jnp.pad(kf, ((0, 0), (0, extent - P), (0, 0))
                            ).astype(self.cache_dtype)
 
         caches = []
@@ -379,6 +448,52 @@ class CondTupleGPT(nn.Module):
             layer_caches.append((ck, cv))
         caches = [layer_caches] + list(caches[1:])
         return caches, x[:, 0, :], self.heads[0](x)[:, 0, :]
+
+    # ------------------------------------------- split-cache decode (serving)
+    def decode_stage_i_split(self, cond_caches, gen_caches, h_prev, prev_elem,
+                             stage_i: int, gen_index, cond_valid, gen_valid):
+        """decode_stage_i over two-segment caches (see
+        CausalSelfAttention.decode_split).  cond_caches: prefill caches at S
+        condition rows (frozen — never written); gen_caches: per-sample-row
+        generation segments; gen_index: write slot.  For stages >= 1 slot 0
+        holds the per-candidate value of sequence position L_c-1 (the
+        position prefill cannot finish), so at sampling step j the write
+        slot is j itself.  Returns (logits_i, h_i, gen_caches)."""
+        x = (h_prev + self.tok_embs[stage_i - 1](prev_elem))[:, None, :]
+        layer_caches = []
+        for blk, (ck, cv), (gk, gv) in zip(self.stages[stage_i],
+                                           cond_caches[stage_i],
+                                           gen_caches[stage_i]):
+            x, gk, gv = blk.decode_split(x, ck, cv, gk, gv, gen_index,
+                                         cond_valid, gen_valid)
+            layer_caches.append((gk, gv))
+        gen_caches = list(gen_caches)
+        gen_caches[stage_i] = layer_caches
+        return self.heads[stage_i](x)[:, 0, :], x[:, 0, :], gen_caches
+
+    def decode_stage0_split(self, cond_caches, gen_caches, new_token,
+                            new_extra, index, gen_index, cond_valid,
+                            gen_valid):
+        """decode_stage0 over two-segment caches.  index: absolute sequence
+        position (pos-embedding lookup); gen_index: gen-segment write slot
+        (= index - L_cond).  Returns (gen_caches, h0, logits0)."""
+        tok = sum(emb(new_token[:, i]) for i, emb in enumerate(self.tok_embs))
+        extra = sum(emb(new_extra[:, i])
+                    for i, emb in enumerate(self.extra_tok_embs))
+        pos_idx = index if self.pos_no_restart else gen_index
+        pos = jax.lax.dynamic_slice_in_dim(self.pos_emb[0], pos_idx, 1,
+                                           axis=0)
+        if self.no_pos_emb:
+            pos = pos * 0.0
+        x = (tok + extra)[:, None, :] + pos[None].astype(self.dtype)
+        layer_caches = []
+        for blk, (ck, cv), (gk, gv) in zip(self.stages[0], cond_caches[0],
+                                           gen_caches[0]):
+            x, gk, gv = blk.decode_split(x, ck, cv, gk, gv, gen_index,
+                                         cond_valid, gen_valid)
+            layer_caches.append((gk, gv))
+        gen_caches = [layer_caches] + list(gen_caches[1:])
+        return gen_caches, x[:, 0, :], self.heads[0](x)[:, 0, :]
 
 
 class GPT(nn.Module):

@@ -65,13 +65,24 @@ class LocalPoolPointnet(nn.Module):
                                 name=f"block{i}")(net)
         c = nn.Dense(self.c_dim, dtype=self.dtype, name="fc_c")(net)
 
-        fea_grid = scatter.scatter_mean(c, ids, n_cells)
+        # dense grid + occupancy through the SAME sort plan: unique-index
+        # stores at segment ends, not duplicate-index scatter-adds (TPU
+        # scatters serialize on duplicates; ops/scatter.scatter_mean_sorted)
+        fea_grid = scatter.scatter_mean_sorted(c, ids, plan, n_cells)
         fea_grid = fea_grid.reshape(-1, reso, reso, reso, self.c_dim)
+        fine_mask = scatter.occupancy_from_plan(ids, plan, n_cells)
         if self.downsampler:
             fea_grid = Downsampler(dtype=self.dtype, name="downsampler",
                                    **self.downsampler_kwargs)(fea_grid)
         out_reso = fea_grid.shape[1]
-        out_ids = coordinate2index(p_nor, out_reso)
-        mask = scatter.occupancy_mask(out_ids, out_reso ** 3)
-        mask = mask.reshape(-1, out_reso, out_reso, out_reso)
+        if reso % out_reso == 0:
+            # floor(p*out) == floor(p*reso) // f per axis, so the coarse
+            # occupancy is a maxpool of the fine one (enc.py:85-91 semantics)
+            f = reso // out_reso
+            mask = fine_mask.reshape(-1, out_reso, f, out_reso, f,
+                                     out_reso, f).any(axis=(2, 4, 6))
+        else:
+            out_ids = coordinate2index(p_nor, out_reso)
+            mask = scatter.occupancy_mask(out_ids, out_reso ** 3)
+            mask = mask.reshape(-1, out_reso, out_reso, out_reso)
         return fea_grid, mask

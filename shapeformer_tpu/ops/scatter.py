@@ -228,6 +228,40 @@ def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     return jnp.take_along_axis(total, plan["inv_perm"][..., None], axis=1)
 
 
+def scatter_mean_sorted(c, ids, plan, n_cells: int):
+    """scatter_mean through an existing pool_plan: per-cell means land in the
+    dense grid via a UNIQUE-index scatter (one row per segment end) instead
+    of a duplicate-index scatter-add over every point.
+
+    TPU scatters serialize on duplicate indices — segment_sum over B*64^3
+    segments from 262k points is the encoder's hidden cost — while a scatter
+    whose indices are unique and sorted lowers to a parallel store.  The
+    segment totals come from the same inclusive scans pooled_gather already
+    uses.  Exactly equals scatter_mean(c, ids, n_cells); empty cells are 0.
+    """
+    B, N, C = c.shape
+    out_dtype = c.dtype
+    # accumulate in f32: bf16 integer precision dies past 256 points/cell
+    cs = jnp.take_along_axis(c, plan["perm"][..., None],
+                             axis=1).astype(jnp.float32)
+    ids_s = jnp.take_along_axis(ids, plan["perm"], axis=1)
+    seg_start = plan["seg_start"]
+    seg_end = jnp.concatenate(
+        [seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])], axis=1)
+    sums = _seg_scan(cs, seg_start, "sum")                 # inclusive per-seg
+    ones = jnp.ones(cs.shape[:2] + (1,), jnp.float32)
+    cnts = _seg_scan(ones, seg_start, "sum")
+    mean = (sums / jnp.maximum(cnts, 1.0)).astype(out_dtype)  # at seg ends
+    # non-end rows point out of bounds -> dropped; the indices actually
+    # written are then genuinely unique (one per segment)
+    tgt = jnp.where(seg_end, ids_s, n_cells)
+
+    def one(t, v):
+        g = jnp.zeros((n_cells, C), v.dtype)
+        return g.at[t].set(v, mode="drop", unique_indices=True)
+    return jax.vmap(one)(tgt, mean)
+
+
 def occupancy_mask(ids, n_cells: int):
     """(B, N) -> (B, n_cells) bool: True where a cell contains >= 1 point
     (replaces the index_put mask build at enc.py:85-91)."""
@@ -236,3 +270,19 @@ def occupancy_mask(ids, n_cells: int):
     cnt = jax.ops.segment_sum(jnp.ones_like(seg, jnp.int32), seg,
                               num_segments=B * n_cells)
     return (cnt > 0).reshape(B, n_cells)
+
+
+def occupancy_from_plan(ids, plan, n_cells: int):
+    """occupancy_mask through an existing pool_plan: one unique-index store
+    per segment end instead of a duplicate-index scatter-add per point (see
+    scatter_mean_sorted for why duplicates hurt on TPU)."""
+    ids_s = jnp.take_along_axis(ids, plan["perm"], axis=1)
+    seg_start = plan["seg_start"]
+    seg_end = jnp.concatenate(
+        [seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])], axis=1)
+    tgt = jnp.where(seg_end, ids_s, n_cells)       # out of bounds -> dropped
+
+    def one(t):
+        g = jnp.zeros((n_cells,), bool)
+        return g.at[t].set(True, mode="drop", unique_indices=True)
+    return jax.vmap(one)(tgt)

@@ -111,6 +111,7 @@ def test_full_pipeline(in_ws):
     # demo shape must resemble the GT boundary cloud (healthy toy run:
     # 0.04-0.15; a semantically broken sampler produces >0.4 or no mesh)
     from shapeformer_tpu.ops.metrics import chamfer_distance
+    completion_cd = {}
     for name in ("shape_a", "shape_b"):
         d = np.load(os.path.join(sf_dir, "eval", f"{name}.npz"))
         gt = np.load(os.path.join(ws, "demo/dataset", name, "Xbd.npy"))
@@ -120,6 +121,24 @@ def test_full_pipeline(in_ws):
               f"{[round(c, 3) for c in cds]}")
         assert cds and min(cds) < 0.35, \
             f"completion quality regressed on {name}: chamfer {cds}"
+        completion_cd[name] = min(cds)
+
+    # ---- 5. quality telemetry (VERDICT r3 #9) ---------------------------
+    # Run the metrics CLI machinery over the completion eval exports and
+    # record IoU/Chamfer/TMD into the repo so semantic regressions show as a
+    # trend across rounds, not only as pass/fail gates.
+    import json
+    from shapeformer_tpu.ops.metrics import evaluate_eval_dir
+    rows = evaluate_eval_dir(os.path.join(sf_dir, "eval"))
+    telemetry = {
+        "vqdif_recon_iou_test_mean": round(iou, 4),
+        "completion_best_chamfer": {k: round(v, 4)
+                                    for k, v in completion_cd.items()},
+        "completion_tmd": {r["name"]: round(r["tmd"], 4) for r in rows},
+    }
+    print("e2e telemetry:", json.dumps(telemetry))
+    with open(os.path.join(REPO, "TELEMETRY_e2e.json"), "w") as f:
+        json.dump(telemetry, f, indent=1)
 
 
 def _vqdif_recon_iou(ws):

@@ -284,3 +284,61 @@ def test_sample_ranked_argmax_and_distribution():
     # kept {0, 1, 3} = [0.6, 0.2, 0.2]
     assert abs(freq[0] - 0.6) < 0.05 and freq[2] == 0.0
     assert abs(freq[1] - 0.2) < 0.05 and abs(freq[3] - 0.2) < 0.05
+
+
+def test_scatter_mean_sorted_matches_dense():
+    """scatter_mean_sorted / occupancy_from_plan (unique-index stores at
+    segment ends) must equal the segment_sum-based scatter_mean /
+    occupancy_mask exactly — the TPU-fast grid build is a pure reformulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.ops import scatter
+
+    key = jax.random.PRNGKey(0)
+    B, N, C, n_cells = 3, 512, 8, 64
+    c = jax.random.normal(key, (B, N, C), jnp.float32)
+    ids = jax.random.randint(key, (B, N), 0, n_cells)
+    plan = jax.jit(scatter.pool_plan)(ids)
+
+    ref = scatter.scatter_mean(c, ids, n_cells)
+    got = jax.jit(lambda c, i, p: scatter.scatter_mean_sorted(
+        c, i, p, n_cells))(c, ids, plan)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    m_ref = scatter.occupancy_mask(ids, n_cells)
+    m_got = jax.jit(lambda i, p: scatter.occupancy_from_plan(
+        i, p, n_cells))(ids, plan)
+    np.testing.assert_array_equal(np.asarray(m_got), np.asarray(m_ref))
+
+    # bf16 features with >256 points per cell: means must not lose count
+    # precision (f32 accumulation inside)
+    ids1 = jnp.zeros((1, 400), jnp.int32)
+    c1 = jnp.ones((1, 400, 4), jnp.bfloat16)
+    plan1 = scatter.pool_plan(ids1)
+    got1 = scatter.scatter_mean_sorted(c1, ids1, plan1, 4)
+    np.testing.assert_allclose(np.asarray(got1[0, 0], np.float32),
+                               np.ones(4), rtol=1e-2)
+
+
+def test_encoder_coarse_mask_matches_rebinning():
+    """enc.py's maxpooled fine occupancy == re-binning the points at the
+    output resolution (floor(p*out) == floor(p*reso)//f for p in [0,1))."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.ops import scatter
+    from shapeformer_tpu.ops.gridcoords import (coordinate2index,
+                                                normalize_3d_coordinate)
+
+    key = jax.random.PRNGKey(1)
+    p = jax.random.uniform(key, (2, 1024, 3), minval=-0.55, maxval=0.55)
+    p_nor = normalize_3d_coordinate(p)
+    reso, out = 32, 8
+    fine = scatter.occupancy_mask(coordinate2index(p_nor, reso), reso ** 3)
+    f = reso // out
+    pooled = fine.reshape(-1, out, f, out, f, out, f).any(axis=(2, 4, 6))
+    direct = scatter.occupancy_mask(coordinate2index(p_nor, out),
+                                    out ** 3).reshape(-1, out, out, out)
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(direct))

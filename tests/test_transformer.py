@@ -438,3 +438,37 @@ def test_best_in_first_pins_every_condition(model_params):
     r1 = np.asarray(sf.sample(params, c, jax.random.PRNGKey(1), **kw1)[1])
     r2 = np.asarray(sf.sample(params, c, jax.random.PRNGKey(5), **kw1)[1])
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_split_cond_cache_token_exact():
+    """Split-cache batched decode (shared cond segment + per-candidate gen
+    segment, mingpt.decode_split) is a pure cache-layout reformulation: with
+    identical rng it must emit exactly the tokens and log-probs of the tiled
+    full-cache path, for multiple conditions x candidates."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    vqdif, sf = ge._build_models(voxel_res=4, grid_res=8, vocab=32,
+                                 vq_dim=32, n_embd=32, n_layers=(1, 1),
+                                 n_head=2, block_size=34)
+    params, vq_vars = ge._init_all(vqdif, sf, n_pts=256)
+    rng = np.random.default_rng(5)
+    Xct = jnp.asarray(rng.uniform(-0.8, 0.8, (3, 256, 3)).astype(np.float32))
+    c, _, _, _ = sf.representer.get_indices(Xct=Xct, stage="test",
+                                            vqdif_vars=vq_vars)
+    key = jax.random.PRNGKey(11)
+    kw = dict(max_steps=6, top_k=4, top_p=0.9, candidates=4)
+    ref_tok, ref_lp = sf.sample_indices(params, c, key,
+                                        split_cond_cache=False, **kw)
+    got_tok, got_lp = sf.sample_indices(params, c, key,
+                                        split_cond_cache=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(got_lp), np.asarray(ref_lp),
+                               rtol=1e-4, atol=1e-4)
+    # argmax determinism across paths with best_in_first
+    kw2 = dict(max_steps=6, top_k=1, top_p=1.0, candidates=2,
+               best_in_first=True)
+    r2, _ = sf.sample_indices(params, c, key, split_cond_cache=False, **kw2)
+    g2, _ = sf.sample_indices(params, c, key, split_cond_cache=True, **kw2)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(r2))
