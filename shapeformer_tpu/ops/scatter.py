@@ -21,6 +21,7 @@ reads back exclusively at occupied cells).
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -192,6 +193,81 @@ def _pallas_default() -> bool:
     return _pallas_ok(32, jnp.bfloat16)
 
 
+def _seg_ends(seg_start):
+    """End flags for the reverse scan: end[i] = start[i+1]; last row ends."""
+    return jnp.concatenate(
+        [seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])], axis=1)
+
+
+def _pg_core(mode: str, c, perm, inv_perm, seg_start, use_pallas: bool):
+    """pooled_gather forward.  Returns (out, (cs, total, n)) with cs/total/n
+    in SORTED point order (n is the per-point segment size, mean mode only) —
+    the residuals the custom VJP of the pallas path needs."""
+    cs = jnp.take_along_axis(c, perm[..., None], axis=1)
+    seg_end = _seg_ends(seg_start)
+    scan_mode = "max" if mode == "max" else "sum"
+    if use_pallas:
+        from . import pallas_scatter
+        fwd = pallas_scatter.segmented_scan(cs, seg_start, scan_mode)
+        bwd = pallas_scatter.segmented_scan(cs, seg_end, scan_mode,
+                                            reverse=True)
+    else:
+        fwd = _seg_scan(cs, seg_start, scan_mode)
+        bwd = _seg_scan(cs, seg_end, scan_mode, reverse=True)
+    n = None
+    if mode == "max":
+        total = jnp.maximum(fwd, bwd)
+    else:
+        total = fwd + bwd - cs
+        ones = jnp.ones(cs.shape[:2] + (1,), cs.dtype)
+        cf = _seg_scan(ones, seg_start, "sum")
+        cb = _seg_scan(ones, seg_end, "sum", reverse=True)
+        n = cf + cb - 1.0
+        total = total / n
+    out = jnp.take_along_axis(total, inv_perm[..., None], axis=1)
+    return out, (cs, total, n)
+
+
+# pallas_call has no autodiff rules, so the pallas scan path carries a
+# hand-written VJP (torch_scatter semantics): 'max' routes each segment's
+# summed cotangent to the FIRST per-channel argmax point, 'mean' spreads it
+# uniformly (1/n each).  The bwd pass itself runs on the XLA scans — it is a
+# couple of sum scans of the cotangent, far off the hot path.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pooled_gather_pallas(mode: str, c, perm, inv_perm, seg_start):
+    return _pg_core(mode, c, perm, inv_perm, seg_start, use_pallas=True)[0]
+
+
+def _pg_fwd(mode, c, perm, inv_perm, seg_start):
+    out, (cs, total, n) = _pg_core(mode, c, perm, inv_perm, seg_start,
+                                   use_pallas=True)
+    return out, (cs, total, n, perm, inv_perm, seg_start)
+
+
+def _pg_bwd(mode, res, g):
+    cs, total, n, perm, inv_perm, seg_start = res
+    seg_end = _seg_ends(seg_start)
+    # cotangent of the final gather: dtotal[b, j] = g[b, perm[b, j]]
+    gs = jnp.take_along_axis(g, perm[..., None], axis=1).astype(jnp.float32)
+    gf = _seg_scan(gs, seg_start, "sum")
+    gb = _seg_scan(gs, seg_end, "sum", reverse=True)
+    g_seg = gf + gb - gs                   # per-segment cotangent total
+    if mode == "max":
+        is_max = (cs == total).astype(jnp.float32)   # per channel
+        cnt = _seg_scan(is_max, seg_start, "sum")    # running argmax count
+        first = (is_max > 0) & (cnt == 1.0)
+        dc_s = jnp.where(first, g_seg, 0.0)
+    else:
+        dc_s = g_seg / n.astype(jnp.float32)
+    dc = jnp.take_along_axis(dc_s, inv_perm[..., None], axis=1)
+    f0 = jax.dtypes.float0
+    return (dc.astype(cs.dtype), np.zeros(perm.shape, f0),
+            np.zeros(inv_perm.shape, f0), np.zeros(seg_start.shape, f0))
+
+
+_pooled_gather_pallas.defvjp(_pg_fwd, _pg_bwd)
+
+
 def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     """Fused {scatter_max|scatter_mean} + gather_cells.
 
@@ -202,30 +278,11 @@ def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     """
     if use_pallas is None:
         use_pallas = _pallas_ok(c.shape[-1], c.dtype)
-    cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
-    seg_start = plan["seg_start"]
-    # end flags for the reverse scan: end[i] = start[i+1] (last row is an end)
-    seg_end = jnp.concatenate(
-        [seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])], axis=1)
-    scan_mode = "max" if mode == "max" else "sum"
     if use_pallas:
-        from . import pallas_scatter
-        fwd = pallas_scatter.segmented_scan(cs, seg_start, scan_mode)
-        bwd = pallas_scatter.segmented_scan(cs, seg_end, scan_mode,
-                                            reverse=True)
-    else:
-        fwd = _seg_scan(cs, seg_start, scan_mode)
-        bwd = _seg_scan(cs, seg_end, scan_mode, reverse=True)
-    if mode == "max":
-        total = jnp.maximum(fwd, bwd)
-    else:
-        total = fwd + bwd - cs
-    if mode == "mean":
-        ones = jnp.ones(cs.shape[:2] + (1,), cs.dtype)
-        cf = _seg_scan(ones, seg_start, "sum")
-        cb = _seg_scan(ones, seg_end, "sum", reverse=True)
-        total = total / (cf + cb - 1.0)
-    return jnp.take_along_axis(total, plan["inv_perm"][..., None], axis=1)
+        return _pooled_gather_pallas(mode, c, plan["perm"], plan["inv_perm"],
+                                     plan["seg_start"])
+    return _pg_core(mode, c, plan["perm"], plan["inv_perm"],
+                    plan["seg_start"], use_pallas=False)[0]
 
 
 def scatter_mean_sorted(c, ids, plan, n_cells: int):

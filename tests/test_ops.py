@@ -170,6 +170,25 @@ def test_pooled_gather_pallas_path(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_pooled_gather_pallas_grad_matches_xla(rng):
+    """The pallas path's hand-written VJP == XLA autodiff (pallas_call has no
+    JVP rule; without the custom VJP the VQDIF train step crashes — this is
+    the regression pin for the round-4 TPU bench failure)."""
+    B, N, C, n_cells = 2, 130, 6, 11
+    c = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = jax.jit(scatter.pool_plan)(ids)
+    for mode in ("max", "mean"):
+        def loss(c, use_pallas):
+            out = scatter.pooled_gather(c, plan, mode=mode,
+                                        use_pallas=use_pallas)
+            return (out ** 2).sum()
+        g_x = jax.jit(jax.grad(lambda c: loss(c, False)))(c)
+        g_p = jax.jit(jax.grad(lambda c: loss(c, True)))(c)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   rtol=1e-4, atol=1e-4)
+
+
 # ------------------------------------------------------------------- grid_sample
 def test_trilinear_linear_field_exact(rng):
     """Trilinear interp reproduces any per-axis-linear field exactly."""
