@@ -354,7 +354,14 @@ class Trainer:
     def test(self, resume_from=None):
         self.data_module.prepare_data()
         self.data_module.setup()
-        system = self._build_system()
+        # Bind the scheduler to the real epoch length when train data exists
+        # so the logged `lr` of a resumed StepLR run matches training; the
+        # default 1000 only applies when there is no train split at all.
+        try:
+            steps_per_epoch = max(len(self.data_module.train_dataloader()), 1)
+        except Exception:
+            steps_per_epoch = 1000
+        system = self._build_system(steps_per_epoch)
         if resume_from is None:
             resume_from = getattr(self, "resume_from_checkpoint", None)
         if resume_from is None:
