@@ -253,19 +253,19 @@ def bench_train():
     ids = jax.random.randint(key, (B, 49152), 0, 64 ** 3)
     plan = jax.jit(scatter.pool_plan)(ids)
     old = jax.jit(lambda c, i: scatter.scatter_mean(c, i, 64 ** 3))
-    new = jax.jit(lambda c, i, p: scatter.scatter_mean_sorted(c, i, p,
-                                                              64 ** 3))
+    new = jax.jit(lambda c, i, p: scatter.scatter_mean_plan(c, i, p,
+                                                            64 ** 3))
     jax.block_until_ready(old(c, ids)); jax.block_until_ready(new(c, ids, plan))
     t_old, _ = _median_time(lambda: old(c, ids), n=3)
     t_new, _ = _median_time(lambda: new(c, ids, plan), n=3)
     log(f"grid build (B8 x 49k pts -> 64^3): scatter-add {t_old*1e3:.1f} ms "
-        f"-> sorted unique-store {t_new*1e3:.1f} ms")
+        f"-> pointer-store+gather {t_new*1e3:.1f} ms")
     return {"sf_train_step_s": round(sf_step_s, 4),
             "sf_tokens_per_s": round(B * T / sf_step_s, 1),
             "sf_train_mfu": round(sf_mfu, 4),
             "vqdif_train_step_s": round(vq_step_s, 4),
             "grid_build_scatter_ms": round(t_old * 1e3, 2),
-            "grid_build_sorted_ms": round(t_new * 1e3, 2)}
+            "grid_build_gather_ms": round(t_new * 1e3, 2)}
 
 
 def main():

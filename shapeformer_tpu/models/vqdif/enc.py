@@ -65,13 +65,12 @@ class LocalPoolPointnet(nn.Module):
                                 name=f"block{i}")(net)
         c = nn.Dense(self.c_dim, dtype=self.dtype, name="fc_c")(net)
 
-        # Dense grid build: plain duplicate-index scatter-add.  The sorted
-        # unique-store alternative (scatter.scatter_mean_sorted, reusing the
-        # pooling plan) was measured SLOWER on the v5e — 87 vs 115 ms at
-        # B8 x 49k pts, two independent runs — because it still issues N
-        # stores but adds a permutation gather; XLA's scatter-add does not
-        # serialize on duplicates the way the rationale assumed.
-        fea_grid = scatter.scatter_mean(c, ids, n_cells)
+        # Dense grid build: gather-formulated (scatter.scatter_mean_plan).
+        # TPU scatter cost scales with scattered row width: the C-wide
+        # duplicate-index scatter-add measured ~52 ms at B8 x 49k pts -> 64^3
+        # on v5e (and C-wide unique-index stores ~63 ms), while a 1-wide
+        # pointer store + C-wide gather of the segment means is ~bandwidth.
+        fea_grid = scatter.scatter_mean_plan(c, ids, plan, n_cells)
         fea_grid = fea_grid.reshape(-1, reso, reso, reso, self.c_dim)
         fine_mask = scatter.occupancy_from_plan(ids, plan, n_cells)
         if self.downsampler:

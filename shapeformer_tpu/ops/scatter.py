@@ -319,6 +319,81 @@ def scatter_mean_sorted(c, ids, plan, n_cells: int):
     return jax.vmap(one)(tgt, mean)
 
 
+# The dense grid build is the encoder's hidden cost: a C-wide scatter at
+# B8 x 49k pts -> 64^3 measured ~52 ms (duplicate-index segment_sum) and
+# ~63 ms (unique-index row stores, scatter_mean_sorted) on v5e — both ~150x
+# off HBM speed-of-light — while a 1-wide unique-index store (occupancy grid)
+# measured ~0 ms.  TPU scatter cost scales with scattered ROW WIDTH, so
+# scatter_mean_gather moves all C-wide traffic to gathers: scatter only an
+# int32 POINTER per segment end into the grid, then gather the per-segment
+# mean rows through the pointers.  Measured 52.5 -> ~3 ms.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def scatter_mean_gather(n_cells: int, c, ids, perm, inv_perm, seg_start):
+    """== scatter_mean(c, ids, n_cells) through an existing pool_plan.
+
+    c: (B, N, C); ids: (B, N) cell ids; perm/inv_perm/seg_start: pool_plan
+    fields.  f32 accumulation.
+    """
+    return _smg_fwd_impl(c, ids, perm, seg_start, n_cells)[0]
+
+
+def _smg_fwd_impl(c, ids, perm, seg_start, n_cells):
+    B, N, C = c.shape
+    cs = jnp.take_along_axis(c, perm[..., None], axis=1).astype(jnp.float32)
+    ids_s = jnp.take_along_axis(ids, perm, axis=1)
+    seg_end = _seg_ends(seg_start)
+    sums = _seg_scan(cs, seg_start, "sum")               # inclusive per-seg
+    ones = jnp.ones((B, N, 1), jnp.float32)
+    cnts = _seg_scan(ones, seg_start, "sum")
+    mean = (sums / jnp.maximum(cnts, 1.0)).astype(c.dtype)  # valid at ends
+    tgt = jnp.where(seg_end, ids_s, n_cells)     # non-ends dropped
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+
+    def one(t, i):
+        g = jnp.full((n_cells,), N, jnp.int32)   # N = empty-cell sentinel
+        return g.at[t].set(i, mode="drop", unique_indices=True)
+
+    ptr = jax.vmap(one)(tgt, iota)                        # (B, n_cells)
+    mean_pad = jnp.concatenate(
+        [mean, jnp.zeros((B, 1, C), mean.dtype)], axis=1)
+    grid = jnp.take_along_axis(mean_pad, ptr[..., None], axis=1)
+    return grid, ids_s
+
+
+def _smg_fwd(n_cells, c, ids, perm, inv_perm, seg_start):
+    grid, ids_s = _smg_fwd_impl(c, ids, perm, seg_start, n_cells)
+    return grid, (ids_s, perm, inv_perm, seg_start,
+                  jnp.zeros((0,), c.dtype))
+
+
+def _smg_bwd(n_cells, res, g):
+    # grid[b, cell] = mean of segment at cell -> dc[point] = g[cell(point)]/n
+    ids_s, perm, inv_perm, seg_start, cproto = res
+    B, N = ids_s.shape
+    seg_end = _seg_ends(seg_start)
+    gs = jnp.take_along_axis(
+        g.astype(jnp.float32), ids_s[..., None], axis=1)   # (B, N, C) gather
+    ones = jnp.ones((B, N, 1), jnp.float32)
+    cf = _seg_scan(ones, seg_start, "sum")
+    cb = _seg_scan(ones, seg_end, "sum", reverse=True)
+    n = cf + cb - 1.0                                      # per-point seg size
+    dc = jnp.take_along_axis(gs / n, inv_perm[..., None], axis=1)
+    f0 = jax.dtypes.float0
+    return (dc.astype(cproto.dtype), np.zeros(ids_s.shape, f0),
+            np.zeros(perm.shape, f0), np.zeros(inv_perm.shape, f0),
+            np.zeros(seg_start.shape, f0))
+
+
+scatter_mean_gather.defvjp(_smg_fwd, _smg_bwd)
+
+
+def scatter_mean_plan(c, ids, plan, n_cells: int):
+    """Dense per-cell mean grid, gather-formulated (see scatter_mean_gather).
+    Drop-in for scatter_mean when a pool_plan already exists."""
+    return scatter_mean_gather(n_cells, c, ids, plan["perm"],
+                               plan["inv_perm"], plan["seg_start"])
+
+
 def occupancy_mask(ids, n_cells: int):
     """(B, N) -> (B, n_cells) bool: True where a cell contains >= 1 point
     (replaces the index_put mask build at enc.py:85-91)."""

@@ -341,6 +341,49 @@ def test_scatter_mean_sorted_matches_dense():
                                np.ones(4), rtol=1e-2)
 
 
+def test_scatter_mean_plan_matches_dense_and_grads():
+    """scatter_mean_plan (1-wide pointer scatter + C-wide gather, the TPU
+    grid build) == scatter_mean exactly, and its custom VJP == the
+    segment_sum formulation's autodiff grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.ops import scatter
+
+    key = jax.random.PRNGKey(0)
+    B, N, C, n_cells = 3, 512, 8, 64
+    c = jax.random.normal(key, (B, N, C), jnp.float32)
+    ids = jax.random.randint(key, (B, N), 0, n_cells)
+    plan = jax.jit(scatter.pool_plan)(ids)
+
+    ref = scatter.scatter_mean(c, ids, n_cells)
+    got = jax.jit(lambda c, i, p: scatter.scatter_mean_plan(
+        c, i, p, n_cells))(c, ids, plan)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    w = jax.random.normal(key, ref.shape)
+
+    def loss(fn, c):
+        return (fn(c) * w).sum()
+
+    g_ref = jax.jit(jax.grad(lambda c: loss(
+        lambda cc: scatter.scatter_mean(cc, ids, n_cells), c)))(c)
+    g_got = jax.jit(jax.grad(lambda c: loss(
+        lambda cc: scatter.scatter_mean_plan(cc, ids, plan, n_cells), c)))(c)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # bf16 with >256 points per cell: f32 accumulation inside
+    ids1 = jnp.zeros((1, 400), jnp.int32)
+    c1 = jnp.ones((1, 400, 4), jnp.bfloat16)
+    plan1 = scatter.pool_plan(ids1)
+    got1 = scatter.scatter_mean_plan(c1, ids1, plan1, 4)
+    np.testing.assert_allclose(np.asarray(got1[0, 0], np.float32),
+                               np.ones(4), rtol=1e-2)
+    assert (np.asarray(got1[0, 1:], np.float32) == 0).all()
+
+
 def test_encoder_coarse_mask_matches_rebinning():
     """enc.py's maxpooled fine occupancy == re-binning the points at the
     output resolution (floor(p*out) == floor(p*reso)//f for p in [0,1))."""
