@@ -138,12 +138,18 @@ def bench_scatter():
         return scatter.gather_cells(
             scatter.scatter_max(c, ids, reso ** 3), ids)
 
+    cb = c.astype(jnp.bfloat16)
     variants = {
         "xla-scatter": jax.jit(xla_scatter),
         "sort+scan": jax.jit(lambda c, p: scatter.pooled_gather(
             c, p, "max", use_pallas=False)),
         "pallas-scan": jax.jit(lambda c, p: scatter.pooled_gather(
             c, p, "max", use_pallas=True)),
+        # the round-4 default: packed-cummax / cumsum formulation (bf16,
+        # the encoder's on-TPU dtype), incl. the perm/inv_perm gathers the
+        # sorted-order encoder itself skips
+        "cumsum-sorted(bf16)": jax.jit(lambda c, p: scatter.pooled_gather(
+            cb, p, "max")),
     }
     results = {}
     for name, fn in variants.items():
@@ -158,9 +164,8 @@ def bench_scatter():
     line = " | ".join(f"{k} {v*1e3:.2f}ms" if v else f"{k} n/a"
                       for k, v in results.items())
     log(f"scatter pool+gather (B{B} N{N} C{C} grid {reso}^3): {line}")
-    log(f"encoder pooled_gather default: "
-        f"{'pallas-scan' if scatter._pallas_default() else 'xla-scan'} "
-        f"(on-TPU correctness-gated, ops/scatter.py)")
+    log("encoder pooling default: sorted-order cumsum/packed-cummax "
+        "(ops/scatter.pooled_sorted)")
     return results
 
 

@@ -55,22 +55,27 @@ class LocalPoolPointnet(nn.Module):
         ids = coordinate2index(p_nor, reso)                     # (B, N)
         plan = scatter.pool_plan(ids)                           # one sort/encode
 
-        net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="fc_pos")(p)
+        # The whole per-point stack runs in the plan's SORTED order: every op
+        # here is per-point (order-agnostic) and the grid build is
+        # order-independent, so sorting the raw points once replaces the two
+        # permutation gathers inside every pooled_gather call with none.
+        ps = jnp.take_along_axis(p, plan["perm"][..., None], axis=1)
+        net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="fc_pos")(ps)
         net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name="block0")(net)
         for i in range(1, self.n_blocks):
-            pooled = scatter.pooled_gather(net, plan,
+            pooled = scatter.pooled_sorted(net, plan,
                                            mode=self.scatter_type)  # (B, N, h)
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype,
                                 name=f"block{i}")(net)
         c = nn.Dense(self.c_dim, dtype=self.dtype, name="fc_c")(net)
 
-        # Dense grid build: gather-formulated (scatter.scatter_mean_plan).
+        # Dense grid build: gather-formulated (scatter.scatter_mean_gather).
         # TPU scatter cost scales with scattered row width: the C-wide
         # duplicate-index scatter-add measured ~52 ms at B8 x 49k pts -> 64^3
         # on v5e (and C-wide unique-index stores ~63 ms), while a 1-wide
         # pointer store + C-wide gather of the segment means is ~bandwidth.
-        fea_grid = scatter.scatter_mean_plan(c, ids, plan, n_cells)
+        fea_grid = scatter.scatter_mean_sorted_c(c, plan, n_cells)
         fea_grid = fea_grid.reshape(-1, reso, reso, reso, self.c_dim)
         fine_mask = scatter.occupancy_from_plan(ids, plan, n_cells)
         if self.downsampler:

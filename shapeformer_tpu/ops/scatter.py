@@ -3,17 +3,20 @@
 TPU-native replacement for torch_scatter.scatter_max / scatter_mean
 (reference call sites: shapeformer/models/vqdif/enc.py:5,59-64,72,95-112).
 
-Two implementations:
+Three formulations:
   - scatter_max/scatter_mean: jax.ops.segment_* over per-batch-offset flat
-    cell ids (materializes the dense grid; used for the final grid build).
-  - pool_plan + pooled_gather: the fused pool+gather-back the encoder's inner
-    resnet loop actually needs (pool per cell, read back at every point).
-    TPU scatters with duplicate indices serialize badly, so this sorts the
-    points by cell id ONCE per encode (XLA sort is fast) and runs segmented
-    max/sum scans over the sorted order — no dense grid, no scatter.  The
-    scan core has a Pallas TPU kernel in shapeformer_tpu.ops.pallas_scatter
-    (enabled via use_pallas/SFTPU_PALLAS_SCATTER); the default is the XLA
-    associative_scan path below.
+    cell ids (reference semantics; duplicate-index scatters serialize on TPU
+    so these are off the hot path).
+  - pool_plan + pooled_sorted/pooled_gather: sort the points by cell id ONCE
+    per encode (XLA sort is fast), then every segmented reduction is a PLAIN
+    cumulative scan + boundary row gathers (see the cumsum-formulated block
+    below) — no dense grid, no scatter, no masked tuple scans.  This is the
+    default; the encoder keeps its whole stack in sorted order so the
+    permutation gathers are paid once.
+  - legacy cores kept for parity tests and unsupported dtypes: the masked
+    associative_scan (_seg_scan) and a Pallas TPU scan kernel
+    (shapeformer_tpu.ops.pallas_scatter, via use_pallas/
+    SFTPU_PALLAS_SCATTER).
 
 Empty-cell convention matches torch_scatter's zero-fill: cells containing no
 point pool to 0 (relevant only for the dense scatter_mean grid; pooled_gather
@@ -67,7 +70,14 @@ def pool_plan(ids):
     """Sort each batch row's cell ids once; reused by every pooled_gather.
 
     ids: (B, N) int cell ids.  Returns dict with the permutation, its inverse,
-    and the segment-start/end flags of the sorted order.
+    the segment-start flags of the sorted order, plus per-point segment
+    geometry (all in sorted order):
+      start_pos/end_pos: (B, N) int32 index of each point's segment start/end
+      seg_id:            (B, N) int32 0-based segment ordinal
+      ids_sorted:        (B, N) the sorted cell ids
+    The extras cost three 1-wide int scans; they let the pooled ops run as
+    plain cumulative scans + boundary gathers instead of masked tuple scans
+    (masked associative_scan measured ~15x a plain cumsum on v5e at B8x32k).
     """
     B, N = ids.shape
     perm = jnp.argsort(ids, axis=1)
@@ -76,7 +86,15 @@ def pool_plan(ids):
         [jnp.ones((B, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]],
         axis=1)
     inv_perm = jnp.argsort(perm, axis=1)
-    return dict(perm=perm, inv_perm=inv_perm, seg_start=seg_start)
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    start_pos = jax.lax.cummax(jnp.where(seg_start, iota, 0), axis=1)
+    seg_end = _seg_ends(seg_start)
+    end_pos = jax.lax.cummin(jnp.where(seg_end, iota, N - 1), axis=1,
+                             reverse=True)
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32), axis=1) - 1
+    return dict(perm=perm, inv_perm=inv_perm, seg_start=seg_start,
+                start_pos=start_pos, end_pos=end_pos, seg_id=seg_id,
+                ids_sorted=sorted_ids)
 
 
 def _seg_scan(vals, seg_start, mode: str, reverse: bool = False):
@@ -199,6 +217,153 @@ def _seg_ends(seg_start):
         [seg_start[:, 1:], jnp.ones_like(seg_start[:, :1])], axis=1)
 
 
+# ------------------------------------------------ cumsum-formulated pooling
+# Masked tuple scans (lax.associative_scan with carry flags) measured ~9.8 ms
+# at (8, 32768, 32) f32 on v5e, while a plain jnp.cumsum is 0.66 ms and a
+# blocked MXU cumsum (tril-matmul per 256-block + block-offset cumsum) is
+# ~0.06 ms.  With the per-point segment start/end positions from pool_plan,
+# every segmented reduction becomes cumulative-scan + two boundary row
+# gathers:
+#   seg_sum  per point = CS[end_pos] - (CS - x)[start_pos]
+#   seg_max  per point = decode(cummax(seg_id<<16 | sortable16(x)))[end_pos]
+# The packed max trick needs the value in 16 bits (bf16/f16) and
+# seg_id < 2^15 (N <= 32768) so the key fits int32; other cases fall back to
+# the masked scans.
+
+_CUMSUM_BLOCK = 256
+
+
+def _cumsum_f32(x):
+    """Inclusive cumsum along axis 1 in f32; blocked MXU form when N allows."""
+    x = x.astype(jnp.float32)
+    B, N, C = x.shape
+    if N % _CUMSUM_BLOCK or N <= _CUMSUM_BLOCK:
+        return jnp.cumsum(x, axis=1)
+    nb = N // _CUMSUM_BLOCK
+    xb = x.reshape(B, nb, _CUMSUM_BLOCK, C)
+    L = jnp.tril(jnp.ones((_CUMSUM_BLOCK, _CUMSUM_BLOCK), jnp.float32))
+    pref = jnp.einsum("lk,bnkc->bnlc", L, xb)
+    tot = pref[:, :, -1, :]
+    off = jnp.cumsum(tot, axis=1) - tot
+    return (pref + off[:, :, None, :]).reshape(B, N, C)
+
+
+def _row_gather(x, pos):
+    """(B, N, C), (B, N) int -> (B, N, C): out[b, i] = x[b, pos[b, i]]."""
+    return jnp.take_along_axis(x, pos[..., None], axis=1)
+
+
+def _packed_segmax_scan(cs, seg_id, reverse: bool = False):
+    """Inclusive segmented max scan of 16-bit floats via one int32 cummax.
+
+    Packs (seg_id, sortable16(value)) into one int32 key; seg_id is
+    nondecreasing along the scan direction (32767-seg_id when reverse) so the
+    running key max always belongs to the current segment and its low 16 bits
+    decode to the segmented running max.  Bit-exact vs the masked tuple scan
+    (incl. +-0 up to sign, +-inf).
+    """
+    u = jax.lax.bitcast_convert_type(cs, jnp.uint16).astype(jnp.int32)
+    sortable = jnp.where(u >= 0x8000, 0xFFFF - u, u + 0x8000)   # 0..65535
+    sid = (32767 - seg_id) if reverse else seg_id
+    key = sid[..., None] * 65536 + sortable
+    m = jax.lax.cummax(key, axis=1, reverse=reverse)
+    sv = m & 0xFFFF
+    uv = jnp.where(sv >= 0x8000, sv - 0x8000, 0xFFFF - sv)
+    return jax.lax.bitcast_convert_type(uv.astype(jnp.uint16), cs.dtype)
+
+
+def _seg_sum_per_point(cs, start_pos, end_pos):
+    """Per-point f32 segment total of cs (sorted order)."""
+    CS = _cumsum_f32(cs)
+    E = CS - cs.astype(jnp.float32)        # exclusive cumsum
+    return _row_gather(CS, end_pos) - _row_gather(E, start_pos)
+
+
+def _fast_ok(mode: str, dtype, n: int) -> bool:
+    if mode == "max":
+        return jnp.dtype(dtype).itemsize == 2 and n <= 32768
+    return jnp.issubdtype(dtype, jnp.floating)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pooled_sorted_fast(mode: str, cs, start_pos, end_pos, seg_id):
+    """Per-point pooled segment value, sorted order, cumsum-formulated."""
+    return _psf_impl(mode, cs, start_pos, end_pos, seg_id)
+
+
+def _psf_impl(mode, cs, start_pos, end_pos, seg_id):
+    if mode == "max":
+        # two direction-packed cummaxes beat one cummax + a C-wide row
+        # gather (row gathers measured 2.4 ms vs 1.2 ms per cummax at
+        # (8, 32768, 32) bf16 on v5e)
+        return jnp.maximum(_packed_segmax_scan(cs, seg_id),
+                           _packed_segmax_scan(cs, seg_id, reverse=True))
+    tot = _seg_sum_per_point(cs, start_pos, end_pos)
+    if mode == "mean":
+        n = (end_pos - start_pos + 1).astype(jnp.float32)
+        tot = tot / n[..., None]
+    return tot.astype(cs.dtype)
+
+
+def _psf_fwd(mode, cs, start_pos, end_pos, seg_id):
+    out = _psf_impl(mode, cs, start_pos, end_pos, seg_id)
+    return out, (cs, out, start_pos, end_pos)
+
+
+def _psf_bwd(mode, res, g):
+    cs, out, start_pos, end_pos = res
+    g_seg = _seg_sum_per_point(g, start_pos, end_pos)   # segment cotangent sum
+    if mode == "max":
+        # route each segment's summed cotangent to the FIRST per-channel
+        # argmax point (torch_scatter semantics, matches _pg_bwd)
+        is_max = (cs == out).astype(jnp.float32)
+        MC = _cumsum_f32(is_max)
+        prior = _row_gather(MC - is_max, start_pos)     # argmaxes before seg
+        first = (is_max > 0) & (MC - prior == 1.0)
+        dc = jnp.where(first, g_seg, 0.0)
+    elif mode == "mean":
+        n = (end_pos - start_pos + 1).astype(jnp.float32)
+        dc = g_seg / n[..., None]
+    else:
+        dc = g_seg
+    f0 = jax.dtypes.float0
+    return (dc.astype(cs.dtype), np.zeros(start_pos.shape, f0),
+            np.zeros(end_pos.shape, f0), np.zeros(end_pos.shape, f0))
+
+
+_pooled_sorted_fast.defvjp(_psf_fwd, _psf_bwd)
+
+
+def pooled_sorted(cs, plan, mode: str = "max"):
+    """Per-point pooled segment value for SORTED-order features.
+
+    cs: (B, N, C) features already in the plan's sorted order.  Returns
+    (B, N, C) where out[b, i] = pool over point i's segment.  This is
+    pooled_gather without the perm/inv_perm gathers — the encoder keeps its
+    whole per-point stack in sorted order and only pays the sort once.
+    """
+    scan_mode = "mean" if mode == "mean" else ("max" if mode == "max" else
+                                               "sum")
+    if _fast_ok(scan_mode, cs.dtype, cs.shape[1]):
+        return _pooled_sorted_fast(scan_mode, cs, plan["start_pos"],
+                                   plan["end_pos"], plan["seg_id"])
+    # fallback: masked fwd+bwd scans (f32 max etc.)
+    seg_start = plan["seg_start"]
+    seg_end = _seg_ends(seg_start)
+    sm = "max" if mode == "max" else "sum"
+    fwd = _seg_scan(cs, seg_start, sm)
+    bwd = _seg_scan(cs, seg_end, sm, reverse=True)
+    if mode == "max":
+        return jnp.maximum(fwd, bwd)
+    total = fwd + bwd - cs
+    if mode == "mean":
+        ones = jnp.ones(cs.shape[:2] + (1,), cs.dtype)
+        n = (_seg_scan(ones, seg_start, "sum")
+             + _seg_scan(ones, seg_end, "sum", reverse=True) - 1.0)
+        total = total / n
+    return total
+
+
 def _pg_core(mode: str, c, perm, inv_perm, seg_start, use_pallas: bool):
     """pooled_gather forward.  Returns (out, (cs, total, n)) with cs/total/n
     in SORTED point order (n is the per-point segment size, mean mode only) —
@@ -277,6 +442,13 @@ def pooled_gather(c, plan, mode: str = "max", use_pallas: bool = None):
     without materializing the (B, n_cells, C) dense grid.
     """
     if use_pallas is None:
+        scan_mode = ("mean" if mode == "mean"
+                     else ("max" if mode == "max" else "sum"))
+        if "start_pos" in plan and _fast_ok(scan_mode, c.dtype, c.shape[1]):
+            cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
+            out_s = pooled_sorted(cs, plan, mode)
+            return jnp.take_along_axis(out_s, plan["inv_perm"][..., None],
+                                       axis=1)
         use_pallas = _pallas_ok(c.shape[-1], c.dtype)
     if use_pallas:
         return _pooled_gather_pallas(mode, c, plan["perm"], plan["inv_perm"],
@@ -327,27 +499,33 @@ def scatter_mean_sorted(c, ids, plan, n_cells: int):
 # scatter_mean_gather moves all C-wide traffic to gathers: scatter only an
 # int32 POINTER per segment end into the grid, then gather the per-segment
 # mean rows through the pointers.  Measured 52.5 -> ~3 ms.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def scatter_mean_gather(n_cells: int, c, ids, perm, inv_perm, seg_start):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def scatter_mean_gather(n_cells: int, presorted: bool, c, ids_s, perm,
+                        inv_perm, start_pos, end_pos):
     """== scatter_mean(c, ids, n_cells) through an existing pool_plan.
 
-    c: (B, N, C); ids: (B, N) cell ids; perm/inv_perm/seg_start: pool_plan
-    fields.  f32 accumulation.
+    c: (B, N, C) features — in ORIGINAL point order when presorted is False
+    (sorted internally via argsort(inv_perm)), or already in the plan's
+    sorted order when presorted is True (inv_perm then unused by the fwd).
+    ids_s/start_pos/end_pos: pool_plan fields.  f32 accumulation via
+    cumsum-diff (see _seg_sum_per_point).
     """
-    return _smg_fwd_impl(c, ids, perm, seg_start, n_cells)[0]
+    return _smg_fwd_impl(n_cells, presorted, c, ids_s, perm, start_pos,
+                         end_pos)
 
 
-def _smg_fwd_impl(c, ids, perm, seg_start, n_cells):
+def _smg_fwd_impl(n_cells, presorted, c, ids_s, perm, start_pos, end_pos):
     B, N, C = c.shape
-    cs = jnp.take_along_axis(c, perm[..., None], axis=1).astype(jnp.float32)
-    ids_s = jnp.take_along_axis(ids, perm, axis=1)
-    seg_end = _seg_ends(seg_start)
-    sums = _seg_scan(cs, seg_start, "sum")               # inclusive per-seg
-    ones = jnp.ones((B, N, 1), jnp.float32)
-    cnts = _seg_scan(ones, seg_start, "sum")
-    mean = (sums / jnp.maximum(cnts, 1.0)).astype(c.dtype)  # valid at ends
-    tgt = jnp.where(seg_end, ids_s, n_cells)     # non-ends dropped
+    if presorted:
+        cs = c
+    else:
+        cs = jnp.take_along_axis(c, perm[..., None], axis=1)
+    tot = _seg_sum_per_point(cs, start_pos, end_pos)
+    n = (end_pos - start_pos + 1).astype(jnp.float32)
+    mean = (tot / n[..., None]).astype(c.dtype)          # valid at every row
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    seg_end = iota == end_pos
+    tgt = jnp.where(seg_end, ids_s, n_cells)     # non-ends dropped
 
     def one(t, i):
         g = jnp.full((n_cells,), N, jnp.int32)   # N = empty-cell sentinel
@@ -356,32 +534,32 @@ def _smg_fwd_impl(c, ids, perm, seg_start, n_cells):
     ptr = jax.vmap(one)(tgt, iota)                        # (B, n_cells)
     mean_pad = jnp.concatenate(
         [mean, jnp.zeros((B, 1, C), mean.dtype)], axis=1)
-    grid = jnp.take_along_axis(mean_pad, ptr[..., None], axis=1)
-    return grid, ids_s
+    return jnp.take_along_axis(mean_pad, ptr[..., None], axis=1)
 
 
-def _smg_fwd(n_cells, c, ids, perm, inv_perm, seg_start):
-    grid, ids_s = _smg_fwd_impl(c, ids, perm, seg_start, n_cells)
-    return grid, (ids_s, perm, inv_perm, seg_start,
+def _smg_fwd(n_cells, presorted, c, ids_s, perm, inv_perm, start_pos,
+             end_pos):
+    grid = _smg_fwd_impl(n_cells, presorted, c, ids_s, perm, start_pos,
+                         end_pos)
+    return grid, (ids_s, inv_perm, start_pos, end_pos,
                   jnp.zeros((0,), c.dtype))
 
 
-def _smg_bwd(n_cells, res, g):
+def _smg_bwd(n_cells, presorted, res, g):
     # grid[b, cell] = mean of segment at cell -> dc[point] = g[cell(point)]/n
-    ids_s, perm, inv_perm, seg_start, cproto = res
-    B, N = ids_s.shape
-    seg_end = _seg_ends(seg_start)
+    ids_s, inv_perm, start_pos, end_pos, cproto = res
     gs = jnp.take_along_axis(
         g.astype(jnp.float32), ids_s[..., None], axis=1)   # (B, N, C) gather
-    ones = jnp.ones((B, N, 1), jnp.float32)
-    cf = _seg_scan(ones, seg_start, "sum")
-    cb = _seg_scan(ones, seg_end, "sum", reverse=True)
-    n = cf + cb - 1.0                                      # per-point seg size
-    dc = jnp.take_along_axis(gs / n, inv_perm[..., None], axis=1)
+    n = (end_pos - start_pos + 1).astype(jnp.float32)[..., None]
+    dc_s = gs / n
+    # cotangent back to c's order: identity when c was presorted, else the
+    # inv_perm gather (the transpose of the fwd's perm gather)
+    dc = dc_s if presorted else jnp.take_along_axis(
+        dc_s, inv_perm[..., None], axis=1)
     f0 = jax.dtypes.float0
     return (dc.astype(cproto.dtype), np.zeros(ids_s.shape, f0),
-            np.zeros(perm.shape, f0), np.zeros(inv_perm.shape, f0),
-            np.zeros(seg_start.shape, f0))
+            np.zeros(inv_perm.shape, f0), np.zeros(inv_perm.shape, f0),
+            np.zeros(start_pos.shape, f0), np.zeros(end_pos.shape, f0))
 
 
 scatter_mean_gather.defvjp(_smg_fwd, _smg_bwd)
@@ -389,9 +567,19 @@ scatter_mean_gather.defvjp(_smg_fwd, _smg_bwd)
 
 def scatter_mean_plan(c, ids, plan, n_cells: int):
     """Dense per-cell mean grid, gather-formulated (see scatter_mean_gather).
-    Drop-in for scatter_mean when a pool_plan already exists."""
-    return scatter_mean_gather(n_cells, c, ids, plan["perm"],
-                               plan["inv_perm"], plan["seg_start"])
+    Drop-in for scatter_mean when a pool_plan already exists; c is in
+    ORIGINAL point order."""
+    return scatter_mean_gather(n_cells, False, c, plan["ids_sorted"],
+                               plan["perm"], plan["inv_perm"],
+                               plan["start_pos"], plan["end_pos"])
+
+
+def scatter_mean_sorted_c(cs, plan, n_cells: int):
+    """Dense per-cell mean grid from SORTED-order features (the sorted-order
+    encoder path: no permutation gathers at all)."""
+    return scatter_mean_gather(n_cells, True, cs, plan["ids_sorted"],
+                               plan["perm"], plan["inv_perm"],
+                               plan["start_pos"], plan["end_pos"])
 
 
 def occupancy_mask(ids, n_cells: int):

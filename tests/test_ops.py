@@ -189,6 +189,120 @@ def test_pooled_gather_pallas_grad_matches_xla(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_pooled_sorted_matches_dense(rng):
+    """pooled_sorted (cumsum/packed-cummax formulation) == dense
+    scatter_*+gather in sorted order, for f32 (fallback + cumsum-mean) and
+    bf16 (packed segmax fast path)."""
+    B, N, C, n_cells = 3, 100, 7, 17
+    c = rng.normal(size=(B, N, C)).astype(np.float32)
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = scatter.pool_plan(ids)
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        cj = jnp.asarray(c).astype(dtype)
+        cs = jnp.take_along_axis(cj, plan["perm"][..., None], axis=1)
+        ids_s = plan["ids_sorted"]
+        for mode, pool in (("max", scatter.scatter_max),
+                           ("mean", scatter.scatter_mean)):
+            want = scatter.gather_cells(
+                pool(cs.astype(jnp.float32), ids_s, n_cells), ids_s)
+            got = scatter.pooled_sorted(cs, plan, mode).astype(jnp.float32)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=tol, atol=tol)
+
+
+def test_pooled_sorted_grad_matches_scan_autodiff(rng):
+    """Custom VJP of the cumsum-formulated pooled_sorted == autodiff through
+    the masked-scan core (ties have measure zero with random floats)."""
+    B, N, C, n_cells = 2, 130, 6, 11
+    c = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = jax.jit(scatter.pool_plan)(ids)
+    cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
+    # f32 'max' is gated OUT of the fast path (the packed trick needs 16-bit
+    # values); its bf16 grad is pinned in test_packed_segmax_bf16_fast_path_grad
+    for mode in ("sum", "mean"):
+        def loss_fast(x):
+            return (scatter._pooled_sorted_fast(
+                mode, x, plan["start_pos"], plan["end_pos"],
+                plan["seg_id"]) ** 2).sum()
+
+        def loss_scan(x):
+            if mode == "sum":
+                seg = scatter._seg_scan(x, plan["seg_start"], "sum")
+                segb = scatter._seg_scan(x, scatter._seg_ends(
+                    plan["seg_start"]), "sum", reverse=True)
+                return ((seg + segb - x) ** 2).sum()
+            want = scatter.gather_cells(
+                scatter.scatter_mean(x, plan["ids_sorted"], n_cells),
+                plan["ids_sorted"])
+            return (want ** 2).sum()
+        g_f = jax.jit(jax.grad(loss_fast))(cs)
+        g_s = jax.jit(jax.grad(loss_scan))(cs)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_packed_segmax_bf16_fast_path_grad(rng):
+    """bf16 packed-cummax max path: value AND gradient match the f32 scan
+    reference (the bitcast encode has no autodiff rule — the custom VJP is
+    what makes the encoder trainable in bf16)."""
+    B, N, C, n_cells = 2, 96, 5, 9
+    c32 = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    # snap to bf16 grid so f32 reference sees identical values / argmaxes
+    c = c32.astype(jnp.bfloat16)
+    c32 = c.astype(jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = jax.jit(scatter.pool_plan)(ids)
+    cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
+
+    def loss_fast(x):
+        return (scatter.pooled_sorted(x, plan, "max")
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(x):
+        out = scatter.gather_cells(
+            scatter.scatter_max(x, plan["ids_sorted"], n_cells),
+            plan["ids_sorted"])
+        return (out ** 2).sum()
+    v_f = jax.jit(loss_fast)(cs)
+    v_r = jax.jit(loss_ref)(cs.astype(jnp.float32))
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-2)
+    g_f = jax.jit(jax.grad(loss_fast))(cs).astype(jnp.float32)
+    g_r = jax.jit(jax.grad(loss_ref))(cs.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_scatter_mean_sorted_c_matches_dense(rng):
+    """Sorted-order gather-formulated grid build == scatter_mean, values and
+    gradients."""
+    B, N, C, n_cells = 2, 120, 6, 13
+    c = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_cells, (B, N)))
+    plan = jax.jit(scatter.pool_plan)(ids)
+    cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
+    want = scatter.scatter_mean(c, ids, n_cells)
+    got_o = scatter.scatter_mean_plan(c, ids, plan, n_cells)
+    got_s = scatter.scatter_mean_sorted_c(cs, plan, n_cells)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    g_want = jax.jit(jax.grad(
+        lambda x: (scatter.scatter_mean(x, ids, n_cells) ** 2).sum()))(c)
+    g_got = jax.jit(jax.grad(
+        lambda x: (scatter.scatter_mean_plan(x, ids, plan,
+                                             n_cells) ** 2).sum()))(c)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-4, atol=1e-5)
+    g_sort = jax.jit(jax.grad(
+        lambda x: (scatter.scatter_mean_sorted_c(x, plan,
+                                                 n_cells) ** 2).sum()))(cs)
+    g_want_s = jnp.take_along_axis(g_want, plan["perm"][..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(g_sort), np.asarray(g_want_s),
+                               rtol=1e-4, atol=1e-5)
+
+
 # ------------------------------------------------------------------- grid_sample
 def test_trilinear_linear_field_exact(rng):
     """Trilinear interp reproduces any per-axis-linear field exactly."""
