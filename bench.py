@@ -106,11 +106,32 @@ def _cast_bf16(tree):
 def _sync(out):
     """Force REAL completion: fetch one element of every output array.
     block_until_ready alone under-reports on the axon tunnel (a full 128^3
-    decode 'completed' in 0.2 ms); a device_get cannot lie."""
-    for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "ravel"):
-            np.asarray(leaf.ravel()[0:1])
+    decode 'completed' in 0.2 ms); a device_get cannot lie.  One BATCHED
+    device_get: each separate fetch costs a full ~35 ms tunnel roundtrip
+    (measured: 3 sequential 1-elem fetches 134 ms vs 49 ms batched), which
+    used to dominate every phase number below."""
+    jax.device_get([leaf.ravel()[0:1]
+                    for leaf in jax.tree_util.tree_leaves(out)
+                    if hasattr(leaf, "ravel")])
     return out
+
+
+def _dispatch_constant_s(n=9):
+    """Per-call tunnel/dispatch constant: median time of a trivial jitted
+    program measured exactly like every phase below (enqueue + one batched
+    1-elem device_get).  On-device this program is ~1 us, so the whole
+    measurement is transport overhead; phase numbers report it separately so
+    device work isn't conflated with the axon tunnel (a local-host TPU pays
+    ~0.1 ms here)."""
+    one = jnp.ones((8, 8))
+    triv = jax.jit(lambda x: x + 1.0)
+    ts = []
+    _sync(triv(one))
+    for _ in range(n):
+        t0 = time.time()
+        _sync(triv(one))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
 
 
 def _median_time(fn, n=3):
@@ -359,6 +380,9 @@ def main():
     log(f"  decode compile+run: {time.time()-t0:.1f}s")
 
     # ---------------------------------------------------------------- phases
+    disp_s = _dispatch_constant_s()
+    log(f"dispatch/tunnel constant: {disp_s*1e3:.1f} ms per jitted call "
+        f"(subtracted in *_net phase numbers)")
     probe_s, _ = _median_time(
         lambda: jit_probe(params, vq_vars, Xct, jax.random.PRNGKey(3)))
     sample_s, sample_ts = _median_time(
@@ -380,10 +404,16 @@ def main():
         f"(median of warm runs {mesh_s:.3f}s)")
     ar_s = max(sample_s - probe_s, 0.0)
     latency_s = sample_s + decode_s + mesh_s
-    log(f"phases: tokenize+prefill {probe_s:.3f}s | AR loop ({MAX_STEPS} "
-        f"steps x {SAMPLE_N} cand) {ar_s:.3f}s | decode 128^3 top-1 "
-        f"{decode_s:.3f}s | mesh {mesh_s:.3f}s "
-        f"({len(vert)} verts, {len(face)} faces)")
+    # net = device work only (the probe program's own trace shows ~5 ms of
+    # device time; the rest of the raw number is the per-call tunnel cost
+    # that a sequential phase measurement pays but the single fused sample
+    # program pays only once)
+    probe_net_s = max(probe_s - disp_s, 0.0)
+    decode_net_s = max(decode_s - disp_s, 0.0)
+    log(f"phases: tokenize+prefill {probe_s:.3f}s (net {probe_net_s:.3f}) | "
+        f"AR loop ({MAX_STEPS} steps x {SAMPLE_N} cand) {ar_s:.3f}s | "
+        f"decode 128^3 top-1 {decode_s:.3f}s (net {decode_net_s:.3f}) | "
+        f"mesh {mesh_s:.3f}s ({len(vert)} verts, {len(face)} faces)")
     log(f"sequential latency: {latency_s:.3f}s  (sample times "
         f"{[round(t, 3) for t in sample_ts]})")
     # Per-step breakdown from the on-TPU v5e trace of the jitted loop (cache
@@ -476,8 +506,11 @@ def main():
     result = {"metric": "shape_completion_s", "value": round(steady_s, 4),
               "unit": "s", "vs_baseline": round(1.0 / steady_s, 3),
               "phases": {"tokenize_prefill_s": round(probe_s, 4),
+                         "tokenize_prefill_net_s": round(probe_net_s, 4),
+                         "dispatch_roundtrip_s": round(disp_s, 4),
                          "ar_loop_s": round(ar_s, 4),
                          "decode_s": round(decode_s, 4),
+                         "decode_net_s": round(decode_net_s, 4),
                          "mesh_s": round(mesh_s, 4),
                          "max_interval_s": round(max_interval_s, 4),
                          "sequential_latency_s": round(latency_s, 4),

@@ -29,10 +29,31 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ....ops.quant import make_dense
 
 NEG_INF = -1e30
+
+# Flash-attention (Pallas TPU kernel) switch for the TRAINING forward.  The
+# XLA path materializes the (B, H, T, T) attention matrix around the softmax
+# (~340 MB/layer at the flagship's B8 T812), which HBM-bounds the training
+# forward at ~39% MFU; the fused kernel streams it in (128, 128) tiles.
+# Auto rule (flash_attn=None): on iff the backend is TPU, n_unmasked == 0,
+# and attention dropout is inactive.  `set_flash_enabled(False)` is a global
+# kill switch — parallel/sharding.py flips it before jitting mesh-sharded
+# steps because a pallas_call does not auto-partition under GSPMD (multi-chip
+# training keeps the XLA attention; single-chip keeps the kernel).
+_FLASH_ENABLED = True
+
+
+def set_flash_enabled(on: bool):
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = bool(on)
+
+
+def flash_enabled() -> bool:
+    return _FLASH_ENABLED
 
 
 def _split_heads(x, n_head):
@@ -66,11 +87,45 @@ class CausalSelfAttention(nn.Module):
         y = jnp.einsum("bhqk,bkhd->bqhd", att, v)
         return y.reshape(y.shape[0], y.shape[1], -1)
 
-    def __call__(self, x, mask, deterministic: bool = True):
+    def _attend_flash(self, q, k, v, key_valid):
+        """Fused causal attention via the bundled Pallas TPU flash kernel
+        (fwd + custom-VJP bwd): never materializes the (B, H, T, T) matrix.
+
+        q/k/v: (B, T, H, D).  T pads to a 128 multiple (the kernel's block
+        granularity); key validity and the padding tail are expressed as
+        segment ids (kv segment 0 = never attended, matching the XLA path's
+        `mask & key_valid[:, None, None, :]` semantics — queries themselves
+        are never masked, exactly like `_attend`)."""
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        B, T, H, D = q.shape
+        Tp = -(-T // 128) * 128
+        pad = Tp - T
+
+        def prep(t):  # (B, T, H, D) -> kernel layout (B, H, Tp, D)
+            t = jnp.transpose(t, (0, 2, 1, 3))
+            return jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        kv_seg = (jnp.ones((B, T), jnp.int32) if key_valid is None
+                  else key_valid.astype(jnp.int32))
+        kv_seg = jnp.pad(kv_seg, ((0, 0), (0, pad)))
+        q_seg = jnp.pad(jnp.ones((B, T), jnp.int32), ((0, 0), (0, pad)))
+        out = flash_attention(prep(q), prep(k), prep(v),
+                              segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+                              causal=True,
+                              sm_scale=float(1.0 / np.sqrt(D)))
+        y = jnp.transpose(out[:, :, :T, :], (0, 2, 1, 3))
+        return y.reshape(B, T, H * D)
+
+    def __call__(self, x, mask, deterministic: bool = True, key_valid=None,
+                 use_flash: bool = False):
         qkv = self.qkv(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.n_head) for t in (q, k, v))
-        y = self._attend(q, k, v, mask, deterministic)
+        if use_flash:
+            y = self._attend_flash(q, k, v, key_valid)
+        else:
+            y = self._attend(q, k, v, mask, deterministic)
         return self.resid_drop(self.proj(y), deterministic=deterministic), (k, v)
 
     def decode(self, x_new, cache_k, cache_v, index, key_valid):
@@ -207,8 +262,10 @@ class Block(nn.Module):
             self.fc2(nn.gelu(self.fc1(x), approximate=False)),
             deterministic=deterministic)
 
-    def __call__(self, x, mask, deterministic: bool = True):
-        a, kv = self.attn(self.ln1(x), mask, deterministic)
+    def __call__(self, x, mask, deterministic: bool = True, key_valid=None,
+                 use_flash: bool = False):
+        a, kv = self.attn(self.ln1(x), mask, deterministic,
+                          key_valid=key_valid, use_flash=use_flash)
         x = x + a
         return x + self._mlp(self.ln2(x), deterministic), kv
 
@@ -266,6 +323,9 @@ class CondTupleGPT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cache_dtype: jnp.dtype = jnp.bfloat16
     quant_dense: bool = False  # int8 weight-only serving path (ops/quant.py)
+    # flash-attention training forward: None = auto (TPU backend + standard
+    # causal/key_valid mask), False = never, True = force (TPU only)
+    flash_attn: Optional[bool] = None
 
     def setup(self):
         assert self.tuple_n == len(self.vocab_sizes) == len(self.n_layers)
@@ -337,16 +397,34 @@ class CondTupleGPT(nn.Module):
         T = idx.shape[1]
         assert T <= self.block_size
         x = self.get_embeddings(idx, extra_idx, L_cond)
-        mask = self._attn_mask(T, key_valid)
+        use_flash = self._flash_ok(deterministic)
+        mask = None if use_flash else self._attn_mask(T, key_valid)
         logits = []
         for i in range(self.tuple_n):
             x = self.drop(x, deterministic=deterministic)
             for blk in self.stages[i]:
-                x, _ = blk(x, mask, deterministic)
+                x, _ = blk(x, mask, deterministic, key_valid=key_valid,
+                           use_flash=use_flash)
             logits.append(self.heads[i](x))
             if i < self.tuple_n - 1:
                 x = x + self.tok_embs[i](target_idx[..., i])
         return logits
+
+    def _flash_ok(self, deterministic: bool) -> bool:
+        """Whether the training forward takes the flash kernel (see the
+        module docstring at `set_flash_enabled`).  The kernel expresses only
+        causal + key-validity masks, so n_unmasked > 0 and active attention
+        dropout fall back to the XLA path; numerics match to bf16
+        tolerance (pinned in tests/test_mingpt.py on the TPU backend)."""
+        if self.flash_attn is False or not flash_enabled():
+            return False
+        if self.flash_attn is None and jax.default_backend() != "tpu":
+            return False
+        if self.n_unmasked > 0:
+            return False
+        if self.attn_pdrop > 0 and not deterministic:
+            return False
+        return True
 
     # ----------------------------------------------------------------- decode
     @property

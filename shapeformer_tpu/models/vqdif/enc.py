@@ -39,14 +39,21 @@ class LocalPoolPointnet(nn.Module):
     padding: float = 0.1
     n_blocks: int = 5
     dtype: jnp.dtype = jnp.float32
+    # tokenize-path option: run the Downsampler sparse-direct (occupied rows +
+    # background constant; updown.Downsampler.sparse_call) instead of
+    # materializing the dense fine grid.  Exact up to float reassociation;
+    # off by default so golden checkpoint-transfer pins stay bit-stable.
+    sparse_tokenize: bool = False
 
     @nn.compact
-    def __call__(self, p):
+    def __call__(self, p, sparse: bool = False):
         """(B, N, 3) points in [-0.5, 0.5] -> (grid_feat, grid_mask).
 
         grid_feat: (B, r_out, r_out, r_out, C_out) pooled + downsampled features
         grid_mask: (B, r_out, r_out, r_out) bool occupancy at output resolution
-        """
+
+        sparse=True routes the grid build + Downsampler through the
+        sparse-direct path (only valid with a power-of-2 downsampler)."""
         assert self.plane_type == "grid", "only 3D grid features are supported"
         reso = self.grid_resolution
         n_cells = reso ** 3
@@ -70,17 +77,32 @@ class LocalPoolPointnet(nn.Module):
                                 name=f"block{i}")(net)
         c = nn.Dense(self.c_dim, dtype=self.dtype, name="fc_c")(net)
 
-        # Dense grid build: gather-formulated (scatter.scatter_mean_gather).
-        # TPU scatter cost scales with scattered row width: the C-wide
-        # duplicate-index scatter-add measured ~52 ms at B8 x 49k pts -> 64^3
-        # on v5e (and C-wide unique-index stores ~63 ms), while a 1-wide
-        # pointer store + C-wide gather of the segment means is ~bandwidth.
-        fea_grid = scatter.scatter_mean_sorted_c(c, plan, n_cells)
-        fea_grid = fea_grid.reshape(-1, reso, reso, reso, self.c_dim)
+        down = (Downsampler(dtype=self.dtype, name="downsampler",
+                            **self.downsampler_kwargs)
+                if self.downsampler else None)
         fine_mask = scatter.occupancy_from_plan(ids, plan, n_cells)
-        if self.downsampler:
-            fea_grid = Downsampler(dtype=self.dtype, name="downsampler",
-                                   **self.downsampler_kwargs)(fea_grid)
+        steps = down.downsample_steps if down is not None else 0
+        if sparse and down is not None and reso % (2 ** steps) == 0:
+            # Sparse-direct: per-segment mean rows + cell ids feed the
+            # Downsampler without ever materializing the (B, 64^3, C) fine
+            # grid (two ~16 ms row gathers + dense convs per tokenize at B8
+            # on v5e; updown.Downsampler.sparse_call docstring).
+            mean, is_end = scatter.segment_mean_rows(c, plan)
+            vals0 = jnp.where(is_end[..., None], mean,
+                              jnp.zeros((), mean.dtype))
+            ids0 = jnp.where(is_end, plan["ids_sorted"], n_cells)
+            fea_grid = down.sparse_call(vals0, ids0, reso)
+        else:
+            # Dense grid build: gather-formulated
+            # (scatter.scatter_mean_gather).  TPU scatter cost scales with
+            # scattered row width: the C-wide duplicate-index scatter-add
+            # measured ~52 ms at B8 x 49k pts -> 64^3 on v5e (and C-wide
+            # unique-index stores ~63 ms), while a 1-wide pointer store +
+            # C-wide gather of the segment means is ~bandwidth.
+            fea_grid = scatter.scatter_mean_sorted_c(c, plan, n_cells)
+            fea_grid = fea_grid.reshape(-1, reso, reso, reso, self.c_dim)
+            if down is not None:
+                fea_grid = down(fea_grid)
         out_reso = fea_grid.shape[1]
         if reso % out_reso == 0:
             # floor(p*out) == floor(p*reso) // f per axis, so the coarse

@@ -45,12 +45,16 @@ class VQDIF(nn.Module):
         self.quantizer = build(self.quantizer_opt)
 
     # ------------------------------------------------------------- encoding
-    def encode(self, Xbd):
-        """(B, N, 3) in [-1, 1] -> (grid_feat, grid_mask)."""
+    def encode(self, Xbd, sparse: bool = False):
+        """(B, N, 3) in [-1, 1] -> (grid_feat, grid_mask).  sparse routes the
+        encoder's grid build through the sparse-direct downsampler (see
+        enc.LocalPoolPointnet.sparse_tokenize)."""
+        if sparse:
+            return self.encoder(Xbd / 2.0, sparse=True)
         return self.encoder(Xbd / 2.0)
 
-    def encode_quant(self, Xbd, train: bool = False):
-        grid_feat, grid_mask = self.encode(Xbd)
+    def encode_quant(self, Xbd, train: bool = False, sparse: bool = False):
+        grid_feat, grid_mask = self.encode(Xbd, sparse=sparse)
         if self.quantizer is not None:
             quant_feat, quant_feat_st, quant_ind, quant_diff = self.quantizer(
                 grid_feat, train=train)
@@ -62,8 +66,12 @@ class VQDIF(nn.Module):
     def quantize_cloud(self, cloud):
         """Encode + quantize; replace indices outside the occupancy mask with
         the batch mode index (the 'empty' code).  Returns (quant_ind, mode,
-        encoded) like the reference (vqdif.py:50-58)."""
-        encoded = self.encode_quant(cloud)
+        encoded) like the reference (vqdif.py:50-58).  The tokenize path
+        honors the encoder's sparse_tokenize option (TPU serving/training
+        default-off; exact up to float reassociation)."""
+        encoded = self.encode_quant(
+            cloud, sparse=bool(getattr(self.encoder, "sparse_tokenize",
+                                       False)))
         mask = encoded["grid_mask"]
         vocab = self.quantizer.vocab_size
         mode = sparse_ops.get_mode(encoded["quant_ind"], vocab)

@@ -574,6 +574,20 @@ def scatter_mean_plan(c, ids, plan, n_cells: int):
                                plan["start_pos"], plan["end_pos"])
 
 
+def segment_mean_rows(cs, plan):
+    """Per-point segment-mean rows for SORTED-order features, plus the
+    is-segment-end row mask — the sparse-direct grid feed (one meaningful row
+    per distinct cell, at its segment's end position).
+
+    cs: (B, N, C) sorted-order features.  Returns (mean (B, N, C) valid at
+    every row, is_end (B, N) bool)."""
+    tot = _seg_sum_per_point(cs, plan["start_pos"], plan["end_pos"])
+    n = (plan["end_pos"] - plan["start_pos"] + 1).astype(jnp.float32)
+    mean = (tot / n[..., None]).astype(cs.dtype)
+    iota = jnp.arange(cs.shape[1], dtype=jnp.int32)[None]
+    return mean, iota == plan["end_pos"]
+
+
 def scatter_mean_sorted_c(cs, plan, n_cells: int):
     """Dense per-cell mean grid from SORTED-order features (the sorted-order
     encoder path: no permutation gathers at all)."""

@@ -133,7 +133,12 @@ def shard_train_step(system, mesh: Mesh, state, sample_batch,
 
     Returns (sharded_step, sharded_state): state placed per spec, batch
     expected data-sharded; gradients/EMA reductions become XLA collectives.
+
+    Mesh-sharded steps keep the XLA attention: the flash pallas_call does
+    not auto-partition under GSPMD (mingpt.set_flash_enabled docstring).
     """
+    from ..models.shapeformer.transformer import mingpt
+    mingpt.set_flash_enabled(False)
     s_spec = state_spec(state, mesh)
     b_spec = batch_spec(sample_batch, mesh)
     extra_spec = tuple(replicated(a, mesh) for a in extra_args)

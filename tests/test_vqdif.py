@@ -179,3 +179,89 @@ def test_decode_index_grid_matches_chunked(rng):
     got = vqdif.apply(variables, code, R, method=VQDIF.decode_index_grid)["logits"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_downsampler_matches_dense(rng):
+    """Downsampler.sparse_call (occupied rows + background constant through
+    Conv->ReLU->GroupNorm) == __call__ on the densified grid — the
+    tokenize-path optimization that skips the (B, 64^3, C) materialization."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.models.vqdif.updown import Downsampler
+
+    B, r, C, n_occ, N = 2, 16, 8, 100, 256
+    ds = Downsampler(in_channels=C, downsample_steps=2)
+    key = jax.random.PRNGKey(0)
+    vals = jnp.zeros((B, N, C))
+    ids = jnp.full((B, N), r ** 3, jnp.int32)
+    for b in range(B):
+        cells = np.sort(rng.choice(r ** 3, n_occ, replace=False))
+        ids = ids.at[b, :n_occ].set(jnp.asarray(cells, jnp.int32))
+    vals = vals.at[:, :n_occ].set(jax.random.normal(key, (B, n_occ, C)))
+    dense = jnp.zeros((B, r ** 3, C))
+    for b in range(B):
+        dense = dense.at[b, ids[b, :n_occ]].set(vals[b, :n_occ])
+    dense = dense.reshape(B, r, r, r, C)
+    variables = ds.init(key, dense)
+    want = ds.apply(variables, dense)
+    got = ds.apply(variables, vals, ids, r, method=Downsampler.sparse_call)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_sparse_tokenize_matches_dense(rng):
+    """LocalPoolPointnet(p, sparse=True) == the dense grid-build path, grid
+    and mask both — so quantize_cloud's sparse_tokenize option is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.models.vqdif.enc import LocalPoolPointnet
+
+    enc = LocalPoolPointnet(
+        c_dim=8, hidden_dim=8, grid_resolution=16, downsampler=True,
+        downsampler_kwargs=dict(in_channels=8, downsample_steps=2))
+    key = jax.random.PRNGKey(1)
+    p = jax.random.uniform(key, (2, 500, 3), minval=-0.4, maxval=0.4)
+    variables = enc.init(key, p)
+    grid_d, mask_d = enc.apply(variables, p)
+    grid_s, mask_s = enc.apply(variables, p, sparse=True)
+    np.testing.assert_allclose(np.asarray(grid_s), np.asarray(grid_d),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(mask_s) == np.asarray(mask_d)).all()
+
+
+def test_quantize_cloud_sparse_tokenize_tokens_match(rng):
+    """VQDIF.quantize_cloud with encoder.sparse_tokenize=True produces the
+    same token grid + mode as the dense path on a well-separated codebook."""
+    import jax
+
+    from shapeformer_tpu.models.vqdif.vqdif import VQDIF
+
+    def make(sparse):
+        return VQDIF(
+            encoder_opt={"class": "shapeformer_tpu.models.vqdif.enc"
+                                  ".LocalPoolPointnet",
+                         "kwargs": dict(c_dim=8, hidden_dim=8,
+                                        grid_resolution=16, downsampler=True,
+                                        sparse_tokenize=sparse,
+                                        downsampler_kwargs=dict(
+                                            in_channels=8,
+                                            downsample_steps=1))},
+            quantizer_opt={"class": "shapeformer_tpu.models.vqdif.quantizer"
+                                    ".Quantizer",
+                           "kwargs": dict(vocab_size=16, n_embd=16)},
+            decoder_opt={"class": "shapeformer_tpu.models.vqdif.dec"
+                                  ".LocalDecoder",
+                         "kwargs": dict(c_dim=16, hidden_size=8)})
+
+    key = jax.random.PRNGKey(2)
+    cloud = jax.random.uniform(key, (2, 400, 3), minval=-0.8, maxval=0.8)
+    vq_d, vq_s = make(False), make(True)
+    variables = vq_d.init(key, cloud, cloud[:, :32])
+    ind_d, mode_d, _ = vq_d.apply(variables, cloud,
+                                  method=VQDIF.quantize_cloud)
+    ind_s, mode_s, _ = vq_s.apply(variables, cloud,
+                                  method=VQDIF.quantize_cloud)
+    assert (np.asarray(ind_d) == np.asarray(ind_s)).all()
+    assert (np.asarray(mode_d) == np.asarray(mode_s)).all()
