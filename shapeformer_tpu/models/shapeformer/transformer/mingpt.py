@@ -35,15 +35,19 @@ from ....ops.quant import make_dense
 
 NEG_INF = -1e30
 
-# Flash-attention (Pallas TPU kernel) switch for the TRAINING forward.  The
-# XLA path materializes the (B, H, T, T) attention matrix around the softmax
-# (~340 MB/layer at the flagship's B8 T812), which HBM-bounds the training
-# forward at ~39% MFU; the fused kernel streams it in (128, 128) tiles.
-# Auto rule (flash_attn=None): on iff the backend is TPU, n_unmasked == 0,
-# and attention dropout is inactive.  `set_flash_enabled(False)` is a global
-# kill switch — parallel/sharding.py flips it before jitting mesh-sharded
-# steps because a pallas_call does not auto-partition under GSPMD (multi-chip
-# training keeps the XLA attention; single-chip keeps the kernel).
+# Flash-attention (Pallas TPU kernel) switch for the TRAINING forward.
+# MEASURED NEGATIVE RESULT at the flagship scale (B8 T812 H16 D64, v5e):
+# the fused kernel made the full train step 400 ms vs 249 ms for the XLA
+# attention (fwd+bwd A/B, everything else identical).  The XLA path's
+# (B, H, T, T) materialization around the softmax is only ~21 MB/layer in
+# bf16 at T=812 — comfortably cached — while the kernel pays D=64 lane
+# padding (half of every (8, 128) register tile) and a custom-VJP backward
+# that recomputes the forward.  Flash would only pay off at much longer
+# sequences than this model's block 812.  Default is therefore the XLA
+# attention (flash_attn=None -> off); `flash_attn=True` opts in (TPU only),
+# and `set_flash_enabled(False)` remains a global kill switch used by
+# parallel/sharding.py because a pallas_call does not auto-partition under
+# GSPMD.
 _FLASH_ENABLED = True
 
 
@@ -323,8 +327,9 @@ class CondTupleGPT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cache_dtype: jnp.dtype = jnp.bfloat16
     quant_dense: bool = False  # int8 weight-only serving path (ops/quant.py)
-    # flash-attention training forward: None = auto (TPU backend + standard
-    # causal/key_valid mask), False = never, True = force (TPU only)
+    # flash-attention training forward: None/False = off (the measured
+    # default — see the negative result at `set_flash_enabled`), True =
+    # opt in (TPU backend with standard causal/key_valid mask only)
     flash_attn: Optional[bool] = None
 
     def setup(self):
@@ -416,9 +421,9 @@ class CondTupleGPT(nn.Module):
         causal + key-validity masks, so n_unmasked > 0 and active attention
         dropout fall back to the XLA path; numerics match to bf16
         tolerance (pinned in tests/test_mingpt.py on the TPU backend)."""
-        if self.flash_attn is False or not flash_enabled():
+        if self.flash_attn is not True or not flash_enabled():
             return False
-        if self.flash_attn is None and jax.default_backend() != "tpu":
+        if jax.default_backend() != "tpu":
             return False
         if self.n_unmasked > 0:
             return False
