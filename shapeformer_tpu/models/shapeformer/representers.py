@@ -139,7 +139,8 @@ class ShapeRepresenter(Representer):
                  block_size=None, uncond=False, no_val_ind=False,
                  vqvae_opt=None, cloud_shrinkage=1.0,
                  random_cind_masking=False, mask_invalid=True,
-                 mask_invalid_completion=False, defer_vqvae=False):
+                 mask_invalid_completion=False, defer_vqvae=False,
+                 fuse_tokenize=True):
         self.voxel_res = voxel_res
         self.end_tokens = tuple(end_tokens)
         self.input_end_tokens = tuple(input_end_tokens or end_tokens)
@@ -150,6 +151,7 @@ class ShapeRepresenter(Representer):
         self.random_cind_masking = random_cind_masking
         self.mask_invalid = mask_invalid
         self.mask_invalid_completion = mask_invalid_completion
+        self.fuse_tokenize = fuse_tokenize
         self.max_length = block_size // 2
         self.vqvae_opt = vqvae_opt
         self.vqdif_model, self.vqdif_vars = None, None
@@ -204,15 +206,45 @@ class ShapeRepresenter(Representer):
             jnp.where(keep[..., None], c_indices, e[None, None, :]))
         return out[:, :L, :]
 
+    def encode_clouds_fused(self, Xct, Xbd, vqdif_vars=None):
+        """encode_cloud over Xct AND Xbd through ONE frozen-VQDIF invocation
+        (VQDIF.quantize_clouds_fused): one sort/scatter/Downsampler/codebook
+        pass instead of two.  Exact same outputs as two encode_cloud calls —
+        per-cloud mode semantics preserved (pinned in
+        tests/test_vqdif.py::test_fused_tokenize_matches_two_calls)."""
+        from ..vqdif.vqdif import VQDIF
+        parts = self.vqdif_model.apply(
+            vqdif_vars if vqdif_vars is not None else self.vqdif_vars,
+            [Xct * self.cloud_shrinkage, Xbd * self.cloud_shrinkage],
+            method=VQDIF.quantize_clouds_fused)
+        vocab = self.vqdif_model.quantizer_opt["kwargs"]["vocab_size"]
+        seqs = []
+        for quant_ind, mode, _qf in parts:
+            seq, _ = sparse_ops.dense2sparse(
+                quant_ind, self.max_length, self.input_end_tokens, vocab,
+                mode=mode)
+            if self.no_val_ind:
+                seq = seq.at[..., 1].set(0)
+            seqs.append((mode, seq))
+        return seqs
+
     def get_indices(self, Xct, Xbd=None, stage="train", rng=None,
                     vqdif_vars=None, **kwargs):
         """-> (c_indices, z_indices, extra_indices, others); all (B, L, .)
         statically padded (representers.py:79-103)."""
-        _, _, mode1, c_indices = self.encode_cloud(Xct, vqdif_vars)
-        if Xbd is None:
-            z_indices = c_indices[:, :0, :]
+        enc_kw = (self.vqdif_model.encoder_opt or {}).get("kwargs") or {} \
+            if self.vqdif_model is not None else {}
+        if (self.fuse_tokenize and Xbd is not None
+                and Xbd.shape[0] == Xct.shape[0]
+                and not bool(enc_kw.get("sparse_tokenize", False))):
+            (mode1, c_indices), (_, z_indices) = self.encode_clouds_fused(
+                Xct, Xbd, vqdif_vars)
         else:
-            _, _, _, z_indices = self.encode_cloud(Xbd, vqdif_vars)
+            _, _, mode1, c_indices = self.encode_cloud(Xct, vqdif_vars)
+            if Xbd is None:
+                z_indices = c_indices[:, :0, :]
+            else:
+                _, _, _, z_indices = self.encode_cloud(Xbd, vqdif_vars)
         if self.uncond:
             e = jnp.asarray(self.input_end_tokens, jnp.int32)
             c_indices = jnp.broadcast_to(e[None, None, :], c_indices.shape

@@ -44,7 +44,7 @@ NEG_INF = -1e30
 # padding (half of every (8, 128) register tile) and a custom-VJP backward
 # that recomputes the forward.  Flash would only pay off at much longer
 # sequences than this model's block 812.  Default is therefore the XLA
-# attention (flash_attn=None -> off); `flash_attn=True` opts in (TPU only),
+# attention (flash_attn=False); `flash_attn=True` opts in (TPU only),
 # and `set_flash_enabled(False)` remains a global kill switch used by
 # parallel/sharding.py because a pallas_call does not auto-partition under
 # GSPMD.
@@ -327,10 +327,10 @@ class CondTupleGPT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cache_dtype: jnp.dtype = jnp.bfloat16
     quant_dense: bool = False  # int8 weight-only serving path (ops/quant.py)
-    # flash-attention training forward: None/False = off (the measured
+    # flash-attention training forward: False = off (the measured
     # default — see the negative result at `set_flash_enabled`), True =
     # opt in (TPU backend with standard causal/key_valid mask only)
-    flash_attn: Optional[bool] = None
+    flash_attn: bool = False
 
     def setup(self):
         assert self.tuple_n == len(self.vocab_sizes) == len(self.n_layers)
@@ -420,8 +420,9 @@ class CondTupleGPT(nn.Module):
         module docstring at `set_flash_enabled`).  The kernel expresses only
         causal + key-validity masks, so n_unmasked > 0 and active attention
         dropout fall back to the XLA path; numerics match to bf16
-        tolerance (pinned in tests/test_mingpt.py on the TPU backend)."""
-        if self.flash_attn is not True or not flash_enabled():
+        tolerance (pinned in tests/test_transformer.py::
+        test_flash_attention_matches_xla on the TPU backend)."""
+        if not self.flash_attn or not flash_enabled():
             return False
         if jax.default_backend() != "tpu":
             return False

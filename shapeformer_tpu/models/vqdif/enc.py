@@ -19,6 +19,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import scatter
 from ...ops.gridcoords import coordinate2index, normalize_3d_coordinate
@@ -46,20 +47,40 @@ class LocalPoolPointnet(nn.Module):
     sparse_tokenize: bool = False
 
     @nn.compact
-    def __call__(self, p, sparse: bool = False):
+    def __call__(self, p, sparse: bool = False, splits=None):
         """(B, N, 3) points in [-0.5, 0.5] -> (grid_feat, grid_mask).
 
         grid_feat: (B, r_out, r_out, r_out, C_out) pooled + downsampled features
         grid_mask: (B, r_out, r_out, r_out) bool occupancy at output resolution
 
         sparse=True routes the grid build + Downsampler through the
-        sparse-direct path (only valid with a power-of-2 downsampler)."""
+        sparse-direct path (only valid with a power-of-2 downsampler).
+
+        splits=(N0, N1, ...) fuses SEVERAL independent clouds, concatenated
+        along the point axis (sum(splits) == N), into ONE call: each part's
+        cell ids are offset by part_index * reso^3, so a single sort +
+        segmented scan + scatter builds len(splits) disjoint grids, and the
+        Downsampler runs once at batch B*len(splits).  Outputs are
+        (B * len(splits), ...) with part g of batch b at row b*len(splits)+g.
+        Exactly equivalent to len(splits) separate calls (points never mix:
+        disjoint id ranges keep every segment within its own grid) but with
+        one dispatch and a fuller chip — the SF training step pays two
+        frozen-VQDIF tokenizes (Xct 16k + Xbd 32k) per step, PERF.md."""
         assert self.plane_type == "grid", "only 3D grid features are supported"
         reso = self.grid_resolution
         n_cells = reso ** 3
 
         p_nor = normalize_3d_coordinate(p, padding=self.padding)
         ids = coordinate2index(p_nor, reso)                     # (B, N)
+        n_grids = 1
+        if splits is not None:
+            assert not sparse, "splits is a dense-path option"
+            assert sum(splits) == p.shape[1], (splits, p.shape)
+            n_grids = len(splits)
+            gid = np.repeat(np.arange(n_grids, dtype=np.int32),
+                            np.asarray(splits))
+            ids = ids + jnp.asarray(gid)[None, :] * n_cells
+            n_cells = n_grids * n_cells
         plan = scatter.pool_plan(ids)                           # one sort/encode
 
         # The whole per-point stack runs in the plan's SORTED order: every op
@@ -111,6 +132,7 @@ class LocalPoolPointnet(nn.Module):
             mask = fine_mask.reshape(-1, out_reso, f, out_reso, f,
                                      out_reso, f).any(axis=(2, 4, 6))
         else:
+            assert n_grids == 1, "splits requires a power-of-2 downsampler"
             out_ids = coordinate2index(p_nor, out_reso)
             mask = scatter.occupancy_mask(out_ids, out_reso ** 3)
             mask = mask.reshape(-1, out_reso, out_reso, out_reso)

@@ -78,6 +78,35 @@ class VQDIF(nn.Module):
         quant_ind = jnp.where(mask, encoded["quant_ind"], mode)
         return quant_ind, mode, encoded
 
+    def quantize_clouds_fused(self, clouds):
+        """quantize_cloud over SEVERAL same-batch clouds in ONE encoder +
+        quantizer invocation (enc.LocalPoolPointnet splits path): one sort,
+        one scatter, one Downsampler and one codebook lookup at batch
+        B*len(clouds).  Per-cloud mode/empty-index semantics are preserved
+        (each part's mode is computed over its own quant_ind, exactly like a
+        separate quantize_cloud call).  Returns a list of
+        (quant_ind, mode, quant_feat) per cloud.
+
+        Training lever for the SF step, which tokenizes Xct AND Xbd with the
+        frozen VQDIF every step (reference representers.py:69-90 does this as
+        two calls)."""
+        splits = tuple(int(c.shape[1]) for c in clouds)
+        n = len(splits)
+        B = clouds[0].shape[0]
+        cat = jnp.concatenate(clouds, axis=1)
+        grid_feat, grid_mask = self.encoder(cat / 2.0, splits=splits)
+        _, quant_feat_st, quant_ind, _ = self.quantizer(grid_feat,
+                                                        train=False)
+        vocab = self.quantizer.vocab_size
+        out = []
+        for g in range(n):
+            qi = quant_ind.reshape((B, n) + quant_ind.shape[1:])[:, g]
+            mk = grid_mask.reshape((B, n) + grid_mask.shape[1:])[:, g]
+            qf = quant_feat_st.reshape((B, n) + quant_feat_st.shape[1:])[:, g]
+            mode = sparse_ops.get_mode(qi, vocab)
+            out.append((jnp.where(mk, qi, mode), mode, qf))
+        return out
+
     # ------------------------------------------------------------- decoding
     def decode(self, grid_feat, Xtg):
         """(B, r, r, r, C) grid + (B, M, 3) queries in [-1,1] -> logits dict."""

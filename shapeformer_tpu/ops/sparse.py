@@ -36,12 +36,24 @@ def get_mode(vals, vocab_size: int):
 
 
 def dense2sparse(dense, max_length: int, end_tokens, vocab_size: int, mode=None):
-    """(B, r, r, r) int grid -> ((B, max_length, 2) int32 sequence, mode).
+    """(B, r, r, r) CANONICAL-layout int grid -> ((B, max_length, 2) int32
+    sequence, mode).
 
     Cells whose value equals the batch mode are treated as empty and dropped
     (mode-as-empty convention, common.py:151-168).
+
+    Token numbering/order follows the REFERENCE's convention exactly: flat
+    position ids are the raster scan of the reference's (s0, s1, s2) grid
+    (batch_dense2sparse flattens quant_ind directly, common.py:151-168).
+    This framework's canonical grid layout keeps those spatial axes REVERSED
+    (convert.py:10-13), so the codec transposes at its boundary — making
+    tokenize output byte-identical to the reference pipeline's, which is what
+    converted reference transformer checkpoints were trained on (pinned in
+    tests/test_demo_golden.py on the reference's real demo scans).
     """
     B = dense.shape[0]
+    if dense.ndim == 4:
+        dense = jnp.transpose(dense, (0, 3, 2, 1))
     flat = dense.reshape(B, -1).astype(jnp.int32)
     n_cells = flat.shape[1]
     if mode is None:
@@ -91,7 +103,10 @@ def sparse2dense(seq, empty_ind, reso: int):
     occupied = jnp.einsum("blc->bc", onehot) > 0.5
     empty = jnp.broadcast_to(jnp.asarray(empty_ind, jnp.float32), (B,))
     dense = jnp.where(occupied, summed, empty[:, None])
-    return jnp.round(dense).astype(jnp.int32).reshape(B, reso, reso, reso)
+    dense = jnp.round(dense).astype(jnp.int32).reshape(B, reso, reso, reso)
+    # position ids are reference-raster (see dense2sparse); transpose the
+    # reference-layout cube back to the canonical reversed-axis layout
+    return jnp.transpose(dense, (0, 3, 2, 1))
 
 
 def _is_end(seq, end_tokens):
@@ -129,9 +144,12 @@ def filter_end_tokens(tokens: np.ndarray, end_tokens) -> np.ndarray:
 
 
 def np_dense2sparse(dense: np.ndarray, max_length: int, end_tokens):
-    """Host twin of dense2sparse (numpy, for callbacks / data inspection)."""
+    """Host twin of dense2sparse (numpy, for callbacks / data inspection).
+    Same reference-raster token numbering (see dense2sparse)."""
     dense = np.asarray(dense)
     B = dense.shape[0]
+    if dense.ndim == 4:
+        dense = np.transpose(dense, (0, 3, 2, 1))
     flat = dense.reshape(B, -1).astype(np.int64)
     vals, counts = np.unique(flat, return_counts=True)
     mode = int(vals[np.argmax(counts)])
@@ -153,7 +171,8 @@ def np_sparse2dense(seq: np.ndarray, empty_ind: int, reso: int) -> np.ndarray:
         pos, val = seq[b, :, 0], seq[b, :, 1]
         ok = (pos >= 0) & (pos < reso ** 3)
         dense[b, pos[ok]] = val[ok]
-    return dense.reshape(B, reso, reso, reso)
+    # reference-raster ids -> canonical reversed-axis layout (see dense2sparse)
+    return dense.reshape(B, reso, reso, reso).transpose(0, 3, 2, 1)
 
 
 # --------------------------------------------------- reference-order interop

@@ -129,7 +129,7 @@ def test_full_pipeline(in_ws):
     # trend across rounds, not only as pass/fail gates.
     import json
     from shapeformer_tpu.ops.metrics import evaluate_eval_dir
-    rows = evaluate_eval_dir(os.path.join(sf_dir, "eval"))
+    rows, _summary = evaluate_eval_dir(os.path.join(sf_dir, "eval"))
     telemetry = {
         "vqdif_recon_iou_test_mean": round(iou, 4),
         "completion_best_chamfer": {k: round(v, 4)

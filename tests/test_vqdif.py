@@ -265,3 +265,49 @@ def test_quantize_cloud_sparse_tokenize_tokens_match(rng):
                                   method=VQDIF.quantize_cloud)
     assert (np.asarray(ind_d) == np.asarray(ind_s)).all()
     assert (np.asarray(mode_d) == np.asarray(mode_s)).all()
+
+
+def test_fused_tokenize_matches_two_calls(model_and_vars, rng):
+    """quantize_clouds_fused (one sort/scatter/Downsampler at batch B*n via
+    the encoder splits path) == n separate quantize_cloud calls: quant_ind
+    and per-cloud mode exact, quant_feat allclose.  This is the SF training
+    step's fused frozen-VQDIF tokenize (PERF.md training-path table)."""
+    model, variables, _, _ = model_and_vars
+    Xct = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 96, 3)), jnp.float32)
+    Xbd = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 160, 3)), jnp.float32)
+
+    fused = model.apply(variables, [Xct, Xbd],
+                        method=VQDIF.quantize_clouds_fused)
+    for cloud, (qi_f, mode_f, qf_f) in zip((Xct, Xbd), fused):
+        qi, mode, encoded = model.apply(variables, cloud,
+                                        method=VQDIF.quantize_cloud)
+        assert int(mode_f) == int(mode)
+        np.testing.assert_array_equal(np.asarray(qi_f), np.asarray(qi))
+        np.testing.assert_allclose(np.asarray(qf_f),
+                                   np.asarray(encoded["quant_feat"]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_splits_matches_separate_calls(rng):
+    """The encoder splits path is exactly n separate encoder calls: feature
+    grids allclose (same segments, same per-point math; only the dispatch is
+    fused) and occupancy masks identical."""
+    from shapeformer_tpu.models.vqdif.enc import LocalPoolPointnet
+
+    enc = LocalPoolPointnet(c_dim=8, hidden_dim=8, plane_type="grid",
+                            grid_resolution=8, downsampler=True,
+                            downsampler_kwargs=dict(in_channels=8,
+                                                    downsample_steps=1))
+    a = jnp.asarray(rng.uniform(-0.45, 0.45, (3, 50, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-0.45, 0.45, (3, 70, 3)), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(1), a)
+
+    grid_f, mask_f = enc.apply(variables, jnp.concatenate([a, b], axis=1),
+                               splits=(50, 70))
+    assert grid_f.shape[0] == 6
+    for g, cloud in enumerate((a, b)):
+        grid, mask = enc.apply(variables, cloud)
+        np.testing.assert_allclose(np.asarray(grid_f[g::2]), np.asarray(grid),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mask_f[g::2]),
+                                      np.asarray(mask))
