@@ -140,7 +140,7 @@ class ShapeRepresenter(Representer):
                  vqvae_opt=None, cloud_shrinkage=1.0,
                  random_cind_masking=False, mask_invalid=True,
                  mask_invalid_completion=False, defer_vqvae=False,
-                 fuse_tokenize=True):
+                 fuse_tokenize=False):
         self.voxel_res = voxel_res
         self.end_tokens = tuple(end_tokens)
         self.input_end_tokens = tuple(input_end_tokens or end_tokens)
@@ -211,7 +211,15 @@ class ShapeRepresenter(Representer):
         (VQDIF.quantize_clouds_fused): one sort/scatter/Downsampler/codebook
         pass instead of two.  Exact same outputs as two encode_cloud calls —
         per-cloud mode semantics preserved (pinned in
-        tests/test_vqdif.py::test_fused_tokenize_matches_two_calls)."""
+        tests/test_vqdif.py::test_fused_tokenize_matches_two_calls).
+
+        Measured NEGATIVE at the flagship training shapes (v5e, B8,
+        Xct 16k + Xbd 32k): 94.8 ms fused vs 74.2 ms two-call wall — both
+        tokenizes already sit inside the ONE jitted train step, so there were
+        no per-call dispatch costs to consolidate, and the concat pays a
+        longer 49k-point sort plus per-part segmented-scan slicing
+        (scatter._packed_segmax_bounded).  Hence fuse_tokenize defaults to
+        False; the path stays as a tested opt-in (PERF.md)."""
         from ..vqdif.vqdif import VQDIF
         parts = self.vqdif_model.apply(
             vqdif_vars if vqdif_vars is not None else self.vqdif_vars,

@@ -73,6 +73,7 @@ class LocalPoolPointnet(nn.Module):
         p_nor = normalize_3d_coordinate(p, padding=self.padding)
         ids = coordinate2index(p_nor, reso)                     # (B, N)
         n_grids = 1
+        part_bounds = None
         if splits is not None:
             assert not sparse, "splits is a dense-path option"
             assert sum(splits) == p.shape[1], (splits, p.shape)
@@ -81,6 +82,11 @@ class LocalPoolPointnet(nn.Module):
                             np.asarray(splits))
             ids = ids + jnp.asarray(gid)[None, :] * n_cells
             n_cells = n_grids * n_cells
+            # parts occupy disjoint id ranges, so sorted order is
+            # part-contiguous: static bounds keep the packed max scan fast
+            # past 32768 total points (scatter._packed_segmax_bounded)
+            part_bounds = tuple(int(b) for b in
+                                np.cumsum([0] + list(splits)))
         plan = scatter.pool_plan(ids)                           # one sort/encode
 
         # The whole per-point stack runs in the plan's SORTED order: every op
@@ -91,8 +97,8 @@ class LocalPoolPointnet(nn.Module):
         net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="fc_pos")(ps)
         net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name="block0")(net)
         for i in range(1, self.n_blocks):
-            pooled = scatter.pooled_sorted(net, plan,
-                                           mode=self.scatter_type)  # (B, N, h)
+            pooled = scatter.pooled_sorted(net, plan, mode=self.scatter_type,
+                                           part_bounds=part_bounds)  # (B,N,h)
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype,
                                 name=f"block{i}")(net)

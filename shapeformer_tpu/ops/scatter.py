@@ -279,25 +279,53 @@ def _seg_sum_per_point(cs, start_pos, end_pos):
     return _row_gather(CS, end_pos) - _row_gather(E, start_pos)
 
 
-def _fast_ok(mode: str, dtype, n: int) -> bool:
+def _fast_ok(mode: str, dtype, n: int, part_bounds=None) -> bool:
     if mode == "max":
-        return jnp.dtype(dtype).itemsize == 2 and n <= 32768
+        if jnp.dtype(dtype).itemsize != 2:
+            return False
+        if n <= 32768:
+            return True
+        # the packed key needs seg_id < 2^15; with static part bounds
+        # (disjoint sorted id ranges, e.g. the fused-tokenize splits) the
+        # scan runs per part slice with rebased seg ids, so only the largest
+        # PART must fit
+        return (part_bounds is not None and
+                max(b - a for a, b in zip(part_bounds[:-1], part_bounds[1:]))
+                <= 32768)
     return jnp.issubdtype(dtype, jnp.floating)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pooled_sorted_fast(mode: str, cs, start_pos, end_pos, seg_id):
+def _packed_segmax_bounded(cs, seg_id, part_bounds, reverse: bool = False):
+    """_packed_segmax_scan over static part slices.  part_bounds: ascending
+    static ints (0, ..., N); segments never cross a bound (callers guarantee
+    disjoint id ranges per part), so each slice scans independently with its
+    seg ids rebased to 0 — lifting the N <= 32768 packed-key limit to a
+    per-part limit."""
+    if part_bounds is None or len(part_bounds) <= 2:
+        return _packed_segmax_scan(cs, seg_id, reverse=reverse)
+    outs = []
+    for a, b in zip(part_bounds[:-1], part_bounds[1:]):
+        sid = seg_id[:, a:b]
+        sid = sid - sid[:, :1]
+        outs.append(_packed_segmax_scan(cs[:, a:b], sid, reverse=reverse))
+    return jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pooled_sorted_fast(mode: str, part_bounds, cs, start_pos, end_pos,
+                        seg_id):
     """Per-point pooled segment value, sorted order, cumsum-formulated."""
-    return _psf_impl(mode, cs, start_pos, end_pos, seg_id)
+    return _psf_impl(mode, part_bounds, cs, start_pos, end_pos, seg_id)
 
 
-def _psf_impl(mode, cs, start_pos, end_pos, seg_id):
+def _psf_impl(mode, part_bounds, cs, start_pos, end_pos, seg_id):
     if mode == "max":
         # two direction-packed cummaxes beat one cummax + a C-wide row
         # gather (row gathers measured 2.4 ms vs 1.2 ms per cummax at
         # (8, 32768, 32) bf16 on v5e)
-        return jnp.maximum(_packed_segmax_scan(cs, seg_id),
-                           _packed_segmax_scan(cs, seg_id, reverse=True))
+        return jnp.maximum(
+            _packed_segmax_bounded(cs, seg_id, part_bounds),
+            _packed_segmax_bounded(cs, seg_id, part_bounds, reverse=True))
     tot = _seg_sum_per_point(cs, start_pos, end_pos)
     if mode == "mean":
         n = (end_pos - start_pos + 1).astype(jnp.float32)
@@ -305,12 +333,12 @@ def _psf_impl(mode, cs, start_pos, end_pos, seg_id):
     return tot.astype(cs.dtype)
 
 
-def _psf_fwd(mode, cs, start_pos, end_pos, seg_id):
-    out = _psf_impl(mode, cs, start_pos, end_pos, seg_id)
+def _psf_fwd(mode, part_bounds, cs, start_pos, end_pos, seg_id):
+    out = _psf_impl(mode, part_bounds, cs, start_pos, end_pos, seg_id)
     return out, (cs, out, start_pos, end_pos)
 
 
-def _psf_bwd(mode, res, g):
+def _psf_bwd(mode, part_bounds, res, g):
     cs, out, start_pos, end_pos = res
     g_seg = _seg_sum_per_point(g, start_pos, end_pos)   # segment cotangent sum
     if mode == "max":
@@ -334,18 +362,24 @@ def _psf_bwd(mode, res, g):
 _pooled_sorted_fast.defvjp(_psf_fwd, _psf_bwd)
 
 
-def pooled_sorted(cs, plan, mode: str = "max"):
+def pooled_sorted(cs, plan, mode: str = "max", part_bounds=None):
     """Per-point pooled segment value for SORTED-order features.
 
     cs: (B, N, C) features already in the plan's sorted order.  Returns
     (B, N, C) where out[b, i] = pool over point i's segment.  This is
     pooled_gather without the perm/inv_perm gathers — the encoder keeps its
     whole per-point stack in sorted order and only pays the sort once.
+    part_bounds: optional static ints (0, ..., N) marking slices no segment
+    crosses (the fused-tokenize splits) — lets the packed max scan run past
+    N = 32768 (see _packed_segmax_bounded).
     """
     scan_mode = "mean" if mode == "mean" else ("max" if mode == "max" else
                                                "sum")
-    if _fast_ok(scan_mode, cs.dtype, cs.shape[1]):
-        return _pooled_sorted_fast(scan_mode, cs, plan["start_pos"],
+    if _fast_ok(scan_mode, cs.dtype, cs.shape[1], part_bounds):
+        bounds = (tuple(int(b) for b in part_bounds)
+                  if part_bounds is not None and cs.shape[1] > 32768
+                  else None)
+        return _pooled_sorted_fast(scan_mode, bounds, cs, plan["start_pos"],
                                    plan["end_pos"], plan["seg_id"])
     # fallback: masked fwd+bwd scans (f32 max etc.)
     seg_start = plan["seg_start"]

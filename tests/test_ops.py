@@ -223,7 +223,7 @@ def test_pooled_sorted_grad_matches_scan_autodiff(rng):
     for mode in ("sum", "mean"):
         def loss_fast(x):
             return (scatter._pooled_sorted_fast(
-                mode, x, plan["start_pos"], plan["end_pos"],
+                mode, None, x, plan["start_pos"], plan["end_pos"],
                 plan["seg_id"]) ** 2).sum()
 
         def loss_scan(x):
@@ -271,6 +271,31 @@ def test_packed_segmax_bf16_fast_path_grad(rng):
     g_r = jax.jit(jax.grad(loss_ref))(cs.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pooled_sorted_part_bounds_past_32768(rng):
+    """Packed max scan with static part bounds (the fused-tokenize path,
+    N > 32768) == the masked-scan fallback.  Parts occupy disjoint id
+    ranges, exactly like enc.LocalPoolPointnet's splits offsets."""
+    B, C, n_cells = 2, 33000, 64          # N > 32768 in total
+    splits = (12000, 21000)
+    N = sum(splits)
+    ids0 = rng.integers(0, n_cells, (B, splits[0]))
+    ids1 = rng.integers(0, n_cells, (B, splits[1])) + n_cells   # disjoint
+    ids = jnp.asarray(np.concatenate([ids0, ids1], axis=1))
+    c = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    plan = jax.jit(scatter.pool_plan)(ids)
+    cs = jnp.take_along_axis(c, plan["perm"][..., None], axis=1)
+    bounds = (0, splits[0], N)
+    assert scatter._fast_ok("max", jnp.bfloat16, N, bounds)
+    assert not scatter._fast_ok("max", jnp.bfloat16, N, None)
+    got = scatter.pooled_sorted(cs, plan, "max", part_bounds=bounds)
+    want = scatter.gather_cells(
+        scatter.scatter_max(cs.astype(jnp.float32), plan["ids_sorted"],
+                            2 * n_cells), plan["ids_sorted"])
+    np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
 def test_scatter_mean_sorted_c_matches_dense(rng):
