@@ -45,6 +45,10 @@ class LocalPoolPointnet(nn.Module):
     # materializing the dense fine grid.  Exact up to float reassociation;
     # off by default so golden checkpoint-transfer pins stay bit-stable.
     sparse_tokenize: bool = False
+    # densify the sparse path early at this resolution and run the remaining
+    # downsampler steps dense (updown.Downsampler.sparse_call docstring);
+    # 0 = all-sparse
+    sparse_densify_at: int = 32
 
     @nn.compact
     def __call__(self, p, sparse: bool = False, splits=None):
@@ -118,7 +122,8 @@ class LocalPoolPointnet(nn.Module):
             vals0 = jnp.where(is_end[..., None], mean,
                               jnp.zeros((), mean.dtype))
             ids0 = jnp.where(is_end, plan["ids_sorted"], n_cells)
-            fea_grid = down.sparse_call(vals0, ids0, reso)
+            fea_grid = down.sparse_call(vals0, ids0, reso,
+                                        densify_at=self.sparse_densify_at)
         else:
             # Dense grid build: gather-formulated
             # (scatter.scatter_mean_gather).  TPU scatter cost scales with

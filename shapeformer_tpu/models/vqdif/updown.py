@@ -190,7 +190,7 @@ class Downsampler(nn.Module):
         return x
 
     # ------------------------------------------------------------ sparse path
-    def sparse_call(self, vals, ids, reso: int):
+    def sparse_call(self, vals, ids, reso: int, densify_at: int = 0):
         """Downsample WITHOUT materializing the fine dense grid.
 
         vals: (B, N, C) occupied-cell feature rows (zero on invalid rows);
@@ -199,12 +199,27 @@ class Downsampler(nn.Module):
         Returns the (B, r_out, r_out, r_out, 2^steps * C) dense output grid —
         identical (up to float reassociation) to __call__ on the densified
         input (empty cells zero).
+
+        densify_at: densify EARLY once the resolution reaches this value and
+        run the remaining steps as dense convs.  TPU row gathers cost ~7-14
+        cycles/row regardless of width (PERF.md), so the expensive term is
+        per-CELL row counts: one sparse step then densifying at 32^3 pays
+        8x fewer gather rows than the dense fine-grid build, while deeper
+        sparse levels pay per-point sort+gather chains that stop paying for
+        themselves (measured: full-sparse ties dense at 64^3).  0 keeps the
+        all-sparse behavior (densify at the final resolution).
         """
         B, N, C = vals.shape
         bg = jnp.zeros((B, C), self.dtype)   # empty fine cells are zero
         r = reso
         vals = vals.astype(self.dtype)
-        for conv, mix in self._layers():
+        layers = self._layers()
+        for i, (conv, mix) in enumerate(layers):
+            if densify_at and r <= densify_at:
+                grid = self._densify(vals, ids, bg, r)
+                for conv2, mix2 in layers[i:]:
+                    grid = mix2(conv2(grid))
+                return grid
             vals, ids, bg, r = self._sparse_step(conv, mix, vals, ids, bg, r)
         return self._densify(vals, ids, bg, r)
 
@@ -233,8 +248,10 @@ class Downsampler(nn.Module):
         # pool contributions by coarse cell (duplicates: up to 8 children)
         plan = scatter.pool_plan(coarse)
         cs = jnp.take_along_axis(contrib, plan["perm"][..., None], axis=1)
-        seg_tot = scatter._seg_sum_per_point(
-            cs, plan["start_pos"], plan["end_pos"]).astype(vals.dtype)
+        # only segment-END rows are read below (row_valid implies is_end), so
+        # the one-gather ends-only segment sum suffices (scatter.py row law)
+        seg_tot = scatter._seg_sum_at_ends(
+            cs, plan["start_pos"]).astype(vals.dtype)
         iota = jnp.arange(N, dtype=jnp.int32)[None]
         is_end = iota == plan["end_pos"]
         ids2 = plan["ids_sorted"]

@@ -279,6 +279,21 @@ def _seg_sum_per_point(cs, start_pos, end_pos):
     return _row_gather(CS, end_pos) - _row_gather(E, start_pos)
 
 
+def _seg_sum_at_ends(cs, start_pos):
+    """f32 segment totals valid ONLY at segment-END rows (garbage partial
+    sums elsewhere): tot[i] = CS[i] - CS[start_pos[i] - 1].  At an end row
+    CS[i] is local (no gather), so this costs ONE row gather instead of
+    _seg_sum_per_point's two — and TPU row gathers are the grid-build's
+    dominant cost (~7-14 cycles/row regardless of width, PERF.md).  Callers
+    that only read end rows (grid builds, sparse downsampler steps) get
+    identical values there."""
+    CS = _cumsum_f32(cs)
+    prev = jnp.maximum(start_pos - 1, 0)
+    prev_cs = jnp.where((start_pos > 0)[..., None], _row_gather(CS, prev),
+                        0.0)
+    return CS - prev_cs
+
+
 def _fast_ok(mode: str, dtype, n: int, part_bounds=None) -> bool:
     if mode == "max":
         if jnp.dtype(dtype).itemsize != 2:
@@ -554,9 +569,12 @@ def _smg_fwd_impl(n_cells, presorted, c, ids_s, perm, start_pos, end_pos):
         cs = c
     else:
         cs = jnp.take_along_axis(c, perm[..., None], axis=1)
-    tot = _seg_sum_per_point(cs, start_pos, end_pos)
+    # the pointer gather below reads ONLY segment-end rows (+ the zero pad
+    # row), so the cheaper ends-only segment sum (one row gather, not two)
+    # produces an identical grid
+    tot = _seg_sum_at_ends(cs, start_pos)
     n = (end_pos - start_pos + 1).astype(jnp.float32)
-    mean = (tot / n[..., None]).astype(c.dtype)          # valid at every row
+    mean = (tot / n[..., None]).astype(c.dtype)          # valid at END rows
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
     seg_end = iota == end_pos
     tgt = jnp.where(seg_end, ids_s, n_cells)     # non-ends dropped
@@ -614,8 +632,9 @@ def segment_mean_rows(cs, plan):
     per distinct cell, at its segment's end position).
 
     cs: (B, N, C) sorted-order features.  Returns (mean (B, N, C) valid at
-    every row, is_end (B, N) bool)."""
-    tot = _seg_sum_per_point(cs, plan["start_pos"], plan["end_pos"])
+    END rows — partial-sum garbage elsewhere, callers mask by is_end —,
+    is_end (B, N) bool)."""
+    tot = _seg_sum_at_ends(cs, plan["start_pos"])
     n = (plan["end_pos"] - plan["start_pos"] + 1).astype(jnp.float32)
     mean = (tot / n[..., None]).astype(cs.dtype)
     iota = jnp.arange(cs.shape[1], dtype=jnp.int32)[None]
@@ -628,6 +647,37 @@ def scatter_mean_sorted_c(cs, plan, n_cells: int):
     return scatter_mean_gather(n_cells, True, cs, plan["ids_sorted"],
                                plan["perm"], plan["inv_perm"],
                                plan["start_pos"], plan["end_pos"])
+
+
+def scatter_add_dense(u, ids, n_cells: int):
+    """Σ-scatter rows with DUPLICATE ids into a dense (B, n_cells, C) grid,
+    gather-formulated: sort by cell id, ends-only segment sums, 1-wide
+    pointer store, one C-wide row gather.  == jnp.zeros(...).at[ids].add(u)
+    per batch row, but avoids the XLA scatter (measured 62.6 ms for 524k
+    rows -> 64^3 x 32 on v5e vs ~25 ms for this formulation; TPU scatter
+    serializes, PERF.md row law).  f32 accumulation; empty cells 0.
+
+    u: (B, N, C) contribution rows; ids: (B, N) target cells in
+    [0, n_cells) (use n_cells as a drop sentinel).  Forward-only building
+    block (no custom VJP) — used inside hand-written VJPs (grid_sample).
+    """
+    B, N, C = u.shape
+    plan = pool_plan(ids)
+    us = jnp.take_along_axis(u, plan["perm"][..., None], axis=1)
+    tot = _seg_sum_at_ends(us, plan["start_pos"])          # f32, at ends
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    seg_end = iota == plan["end_pos"]
+    tgt = jnp.where(seg_end & (plan["ids_sorted"] < n_cells),
+                    plan["ids_sorted"], n_cells)
+
+    def one(t, i):
+        g = jnp.full((n_cells,), N, jnp.int32)
+        return g.at[t].set(i, mode="drop", unique_indices=True)
+
+    ptr = jax.vmap(one)(tgt, iota)
+    tot_pad = jnp.concatenate(
+        [tot, jnp.zeros((B, 1, C), tot.dtype)], axis=1)
+    return jnp.take_along_axis(tot_pad, ptr[..., None], axis=1)
 
 
 def occupancy_mask(ids, n_cells: int):

@@ -372,6 +372,34 @@ def test_trilinear_matches_torch(rng):
     np.testing.assert_allclose(out, tout, rtol=1e-5, atol=1e-5)
 
 
+def test_trilinear_sample_grad_matches_autodiff(rng):
+    """trilinear_sample's hand-written VJP (scatter.scatter_add_dense for
+    dgrid — the 62.6 ms XLA-scatter fix, grid_sample.py docstring — plus the
+    exact lerp-chain dp) == plain autodiff through the 8-gather forward, for
+    BOTH inputs, including out-of-range (border-clamped) coordinates and
+    torch-routing duplicate corners."""
+    B, X, Y, Z, C, M = 2, 6, 5, 4, 3, 96
+    grid = jnp.asarray(rng.normal(size=(B, X, Y, Z, C)), jnp.float32)
+    # mix of interior, boundary-exact and out-of-range coords
+    p = rng.uniform(-0.2, 1.2, (B, M, 3)).astype(np.float32)
+    p[:, :4] = np.asarray([[0, 0, 0], [1, 1, 1], [0.5, 0, 1], [1.1, -0.1, 0.5]])
+    p = jnp.asarray(p)
+    g_out = jnp.asarray(rng.normal(size=(B, M, C)), jnp.float32)
+
+    def loss_custom(gr, pp):
+        return (grid_sample.trilinear_sample(gr, pp) * g_out).sum()
+
+    def loss_ref(gr, pp):
+        return (grid_sample._impl(gr, pp) * g_out).sum()
+
+    dg_c, dp_c = jax.grad(loss_custom, argnums=(0, 1))(grid, p)
+    dg_r, dp_r = jax.grad(loss_ref, argnums=(0, 1))(grid, p)
+    np.testing.assert_allclose(np.asarray(dg_c), np.asarray(dg_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_r),
+                               rtol=1e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------------------- sampling
 def test_topk_filter():
     logits = jnp.asarray([[1.0, 3.0, 2.0, -1.0]])

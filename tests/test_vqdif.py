@@ -210,6 +210,42 @@ def test_sparse_downsampler_matches_dense(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sparse_downsampler_densify_at_matches_dense(rng):
+    """sparse_call(densify_at=mid): one sparse step, then densify early and
+    run the remaining steps as dense convs — must equal both the all-sparse
+    and the dense path (the r5 grid-build lever: gather rows shrink 8x per
+    early level, PERF.md row law)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shapeformer_tpu.models.vqdif.updown import Downsampler
+
+    B, r, C, n_occ, N = 2, 16, 8, 100, 256
+    ds = Downsampler(in_channels=C, downsample_steps=2)
+    key = jax.random.PRNGKey(0)
+    vals = jnp.zeros((B, N, C))
+    ids = jnp.full((B, N), r ** 3, jnp.int32)
+    for b in range(B):
+        cells = np.sort(rng.choice(r ** 3, n_occ, replace=False))
+        ids = ids.at[b, :n_occ].set(jnp.asarray(cells, jnp.int32))
+    vals = vals.at[:, :n_occ].set(jax.random.normal(key, (B, n_occ, C)))
+    dense = jnp.zeros((B, r ** 3, C))
+    for b in range(B):
+        dense = dense.at[b, ids[b, :n_occ]].set(vals[b, :n_occ])
+    dense = dense.reshape(B, r, r, r, C)
+    variables = ds.init(key, dense)
+    want = ds.apply(variables, dense)
+    got_mid = ds.apply(variables, vals, ids, r, 8,
+                       method=Downsampler.sparse_call)   # densify at 8^3
+    np.testing.assert_allclose(np.asarray(got_mid), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # densify_at >= reso short-circuits to the pure dense path
+    got_now = ds.apply(variables, vals, ids, r, r,
+                       method=Downsampler.sparse_call)
+    np.testing.assert_allclose(np.asarray(got_now), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_encoder_sparse_tokenize_matches_dense(rng):
     """LocalPoolPointnet(p, sparse=True) == the dense grid-build path, grid
     and mask both — so quantize_cloud's sparse_tokenize option is exact."""
