@@ -62,6 +62,13 @@ def build():
                      "kwargs": dict(c_dim=32, hidden_dim=32,
                                     grid_resolution=64, downsampler=True,
                                     dtype=DTYPE,
+                                    # frozen-tokenize path: segment-domain
+                                    # level 0 + densify at 32^3 measured
+                                    # 51.1 vs 73.7 ms dense at B8
+                                    # Xbd32k+Xct16k (PERF.md); exact up to
+                                    # float reassociation, no-grad path only
+                                    sparse_tokenize=True,
+                                    sparse_densify_at=32,
                                     downsampler_kwargs=dict(
                                         in_channels=32, downsample_steps=2))},
         quantizer_opt={"class": "shapeformer_tpu.models.vqdif.quantizer"
@@ -267,9 +274,22 @@ def bench_train():
     vstate = dict(params=variables["params"], vq=variables["vq"],
                   opt_state=vq_sys.tx.init(variables["params"]),
                   step=jnp.int32(0))
+    # XLA-counted executed flops of the compiled step (the model is
+    # conv+gather heterogeneous, so no clean analytic formula exists);
+    # lower() before the run — donation deletes the state buffers
+    try:
+        ca = vq_sys._train_step.lower(vstate, vbatch).compile(
+            ).cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        vq_flops = float(ca.get("flops", 0.0))
+    except Exception as e:                                 # pragma: no cover
+        log(f"vqdif cost_analysis failed: {type(e).__name__}: {e}")
+        vq_flops = 0.0
     vq_step_s = steps_per_s(vq_sys, vstate, vbatch, rng_arg=False)
+    vq_mfu = vq_flops / vq_step_s / V5E_BF16_PEAK
     log(f"train VQDIF (B{B}, 32768 pts / 8192 targets): "
-        f"{vq_step_s*1e3:.1f} ms/step  {B/vq_step_s:.1f} shapes/s")
+        f"{vq_step_s*1e3:.1f} ms/step  {B/vq_step_s:.1f} shapes/s  "
+        f"MFU {vq_mfu*100:.1f}% (XLA-counted {vq_flops/1e12:.2f} TF/step)")
 
     # --- grid-build ablation: duplicate-index scatter-add vs sorted unique
     # stores (the round-4 encoder optimization; ops/scatter.py) ---
@@ -290,6 +310,7 @@ def bench_train():
             "sf_tokens_per_s": round(B * T / sf_step_s, 1),
             "sf_train_mfu": round(sf_mfu, 4),
             "vqdif_train_step_s": round(vq_step_s, 4),
+            "vqdif_mfu": round(vq_mfu, 4),
             "grid_build_scatter_ms": round(t_old * 1e3, 2),
             "grid_build_gather_ms": round(t_new * 1e3, 2)}
 

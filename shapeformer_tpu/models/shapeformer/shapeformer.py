@@ -89,10 +89,14 @@ class ShapeFormer:
             [rep.cond_token_mask(c_indices),
              rep.cond_token_mask(z_indices)], axis=1)[:, :-1]
         rngs = {"dropout": rng} if rng is not None else None
+        # logits_start slices x BEFORE the position-wise heads — exact (the
+        # reference computes full-length logits and slices after,
+        # shapeformer.py:139) but skips the cond-region head matmuls and
+        # their backward (~L_c/L of the head cost)
         logits = self.transformer.apply(
             params, idx, extra_indices[:, :-1], L_c, target, key_valid,
-            deterministic=deterministic, rngs=rngs)
-        return [lg[:, L_c - 1:, :] for lg in logits]
+            deterministic=deterministic, rngs=rngs, logits_start=L_c - 1)
+        return logits
 
     def loss(self, params, batch, rng=None, stage="train", vqdif_vars=None):
         """Per-element masked CE averaged over tuple elements

@@ -392,12 +392,21 @@ class CondTupleGPT(nn.Module):
         return mask
 
     def __call__(self, idx, extra_idx=None, L_cond: int = 1, target_idx=None,
-                 key_valid=None, deterministic: bool = True):
-        """Training forward: returns [logits_i (B, L, vocab_sizes[i])].
+                 key_valid=None, deterministic: bool = True,
+                 logits_start: int = 0):
+        """Training forward: returns [logits_i (B, L - logits_start, V_i)].
 
         target_idx = idx shifted left by one (the teacher-forced next tuple);
         stage i+1 consumes stage i's stream plus tok_emb_i(target[..., i])
         (mingpt.py:287-296).
+
+        logits_start: apply the heads only from this position on.  The loss
+        consumes only the generation region (reference shapeformer.py:139
+        slices logits[:, L_c-1:] AFTER a full-length head), so slicing x
+        BEFORE the position-wise heads is exact and skips ~half the head
+        matmuls, their logits materialization and their backward at the
+        flagship's L_cond = L/2.  0 keeps full-length logits (the
+        reference-parity surface pinned by the golden tests).
         """
         T = idx.shape[1]
         assert T <= self.block_size
@@ -410,7 +419,7 @@ class CondTupleGPT(nn.Module):
             for blk in self.stages[i]:
                 x, _ = blk(x, mask, deterministic, key_valid=key_valid,
                            use_flash=use_flash)
-            logits.append(self.heads[i](x))
+            logits.append(self.heads[i](x[:, logits_start:, :]))
             if i < self.tuple_n - 1:
                 x = x + self.tok_embs[i](target_idx[..., i])
         return logits
